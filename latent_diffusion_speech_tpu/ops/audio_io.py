@@ -1,0 +1,113 @@
+"""WAV read/write without soundfile/librosa (neither is in the image).
+
+Minimal RIFF WAVE codec supporting PCM 16/24/32-bit and IEEE float32, mono or
+multi-channel, plus the reference's normalization rules
+(`encoder/hifi_vaegan/modules/nvSTFT.py:11-41`): integer data normalized by
+-int_min; float data passed through.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+__all__ = ["read_wav", "write_wav", "load_audio"]
+
+
+def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:
+    """Returns (float32 samples in [-1,1] shaped (T,) or (T, C), sample_rate)."""
+    data = Path(path).read_bytes()
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif chunk_id == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat in fmt ext
+        audio_format = 1 if bits in (16, 24, 32) else 3
+
+    if audio_format == 3 and bits == 32:
+        samples = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+    elif audio_format == 1 and bits == 16:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 32:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif audio_format == 1 and bits == 24:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        ints = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        ints = (ints << 8) >> 8  # sign-extend 24 -> 32
+        samples = ints.astype(np.float32) / 8388608.0
+    else:
+        raise ValueError(f"{path}: unsupported WAV format ({audio_format}, {bits}-bit)")
+
+    if n_channels > 1:
+        samples = samples.reshape(-1, n_channels)
+    return samples, sample_rate
+
+
+def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int, subtype: str = "pcm16") -> None:
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_channels = samples.shape[1]
+
+    if subtype == "pcm16":
+        body = np.round(np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+        bits, audio_format = 16, 1
+    elif subtype == "float32":
+        body = samples.astype("<f4").tobytes()
+        bits, audio_format = 32, 3
+    else:
+        raise ValueError(f"unsupported subtype {subtype!r}")
+
+    byte_rate = sample_rate * n_channels * bits // 8
+    block_align = n_channels * bits // 8
+    fmt_chunk = struct.pack("<HHIIHH", audio_format, n_channels, sample_rate, byte_rate, block_align, bits)
+    out = b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 4 + 8 + len(fmt_chunk) + 8 + len(body)),
+            b"WAVE",
+            b"fmt ",
+            struct.pack("<I", len(fmt_chunk)),
+            fmt_chunk,
+            b"data",
+            struct.pack("<I", len(body)),
+            body,
+        ]
+    )
+    Path(path).write_bytes(out)
+
+
+def load_audio(
+    path: str | Path, target_sr: int | None = None, mono: bool = True
+) -> Tuple[np.ndarray, int]:
+    """Load + normalize (+ optionally resample via the XLA polyphase resampler).
+    Mirrors the load path of `nvSTFT.load_wav_to_torch` (`nvSTFT.py:11-41`)."""
+    samples, sr = read_wav(path)
+    if mono and samples.ndim > 1:
+        samples = samples[:, 0]
+    if target_sr is not None and sr != target_sr:
+        from latent_diffusion_speech_tpu.ops.resample import resample
+
+        samples = np.asarray(resample(samples, sr, target_sr))
+        sr = target_sr
+    return samples.astype(np.float32), sr

@@ -1,0 +1,121 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference's only parallelism is DDP data-parallel via HF accelerate
+(`20_train_diffusion.py:22`, `tools/saver.py:97-98`).  Here a single
+`jax.sharding.Mesh` with axes ("data", "seq", "model") carries data-, sequence-
+and tensor-parallelism; gradient averaging is an XLA `psum` inserted by `jit`
+from sharding annotations, not a backward hook.
+
+ICI vs DCN: within a slice, axes ride ICI; the optional `dcn_data` factor in
+`ParallelConfig` places extra data-parallel replicas across slices on DCN via
+`jax.experimental.mesh_utils.create_hybrid_device_mesh`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from latent_diffusion_speech_tpu.config import ParallelConfig
+
+__all__ = [
+    "MeshSpec",
+    "build_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "with_sharding",
+]
+
+AXIS_DATA = "data"
+AXIS_SEQ = "seq"
+AXIS_MODEL = "model"
+AXES = (AXIS_DATA, AXIS_SEQ, AXIS_MODEL)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    """Resolved mesh geometry: (data, seq, model) axis sizes."""
+
+    data: int
+    seq: int
+    model: int
+
+    @property
+    def total(self) -> int:
+        return self.data * self.seq * self.model
+
+
+def _resolve_spec(cfg: ParallelConfig, n_devices: int) -> MeshSpec:
+    model = max(1, cfg.model)
+    seq = max(1, cfg.seq)
+    if n_devices % (model * seq) != 0:
+        raise ValueError(
+            f"mesh: {n_devices} devices not divisible by model({model})*seq({seq})"
+        )
+    data = cfg.data if cfg.data > 0 else n_devices // (model * seq)
+    if data * seq * model != n_devices:
+        raise ValueError(
+            f"mesh: data({data})*seq({seq})*model({model}) != devices({n_devices})"
+        )
+    return MeshSpec(data=data, seq=seq, model=model)
+
+
+def build_mesh(
+    cfg: Optional[ParallelConfig] = None,
+    devices: Optional[Sequence[Any]] = None,
+) -> Mesh:
+    """Build the global mesh.  With `dcn_data > 1`, lays out a hybrid
+    (DCN outer data axis x ICI inner axes) mesh for multi-slice training."""
+    cfg = cfg or ParallelConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+
+    if cfg.dcn_data > 1:
+        from jax.experimental import mesh_utils
+
+        per_slice = n // cfg.dcn_data
+        inner = _resolve_spec(cfg, per_slice)
+        dev_mesh = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(inner.data, inner.seq, inner.model),
+            dcn_mesh_shape=(cfg.dcn_data, 1, 1),
+            devices=devices,
+        )
+        return Mesh(dev_mesh, AXES)
+
+    spec = _resolve_spec(cfg, n)
+    dev_mesh = np.asarray(devices).reshape(spec.data, spec.seq, spec.model)
+    return Mesh(dev_mesh, AXES)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis; replicate rest."""
+    spec = P(AXIS_DATA, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a host pytree with batch-dim sharding over the data axis."""
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, batch_sharding(mesh, max(1, x.ndim)))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def with_sharding(mesh: Mesh, tree: Any, spec_tree: Any) -> Any:
+    """Apply `jax.lax.with_sharding_constraint` with PartitionSpecs over `mesh`."""
+
+    def constrain(x, spec):
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(constrain, tree, spec_tree)
