@@ -1,0 +1,183 @@
+"""VAE encoder + HiFi-GAN generator in flax.linen (NWC, channels-last).
+
+Architecture parity with the reference (`encoder/hifi_vaegan/modules/models.py`):
+* `VAEEncoder` (ref `Encoder`, models.py:14-67): conv_pre k7 -> per-stage
+  [leaky_relu, strided conv (reversed upsample rates), MRF resblock average]
+  -> leaky_relu -> conv_post k7 -> split (m, logs), z = m + eps*exp(logs).
+* `Generator` (ref models.py:224-272): conv_pre k7 -> per-stage [leaky_relu,
+  transposed conv, MRF average] -> leaky_relu -> conv_post k7 -> tanh.
+* ResBlock1/2 (ref models.py:161-222): dilated conv residual stacks, slope 0.1.
+
+TPU-first choices: channels-last so XLA tiles convs on the MXU directly;
+transposed conv expressed as input-dilated conv (lhs_dilation) which XLA
+lowers to the same MXU path; weight norm is folded at import time (inference)
+— codec training re-parametrizes on top of plain kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from latent_diffusion_speech_tpu.models.vaegan.config import VAEGANConfig
+
+LRELU_SLOPE = 0.1
+
+
+def _same_pad(kernel: int, dilation: int = 1) -> int:
+    """Reference `get_padding` (commons.py:13-14)."""
+    return (kernel * dilation - dilation) // 2
+
+
+class Conv1d(nn.Module):
+    """Channels-last Conv1d with explicit torch-style symmetric padding."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    padding: Optional[int] = None  # None -> torch get_padding (SAME for odd k)
+    groups: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.padding if self.padding is not None else _same_pad(self.kernel_size, self.dilation)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            kernel_dilation=(self.dilation,),
+            padding=[(pad, pad)],
+            feature_group_count=self.groups,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.01),
+        )(x)
+
+
+class ConvTranspose1d(nn.Module):
+    """torch ConvTranspose1d(stride=u, padding=p) as an input-dilated conv:
+    out_len = (T-1)*u - 2p + k. Kernel stored in conv (HWIO-like) layout."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, u, p = self.kernel_size, self.stride, self.padding
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(k,),
+            strides=(1,),
+            input_dilation=(u,),
+            padding=[(k - 1 - p, k - 1 - p)],
+            dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.01),
+        )(x)
+
+
+class ResBlock1(nn.Module):
+    """3x (dilated conv + plain conv) residual stack (ref models.py:161-198)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Tuple[int, ...] = (1, 3, 5)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilations):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = Conv1d(self.channels, self.kernel_size, dilation=d, dtype=self.dtype, name=f"conv1_{i}")(xt)
+            xt = nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = Conv1d(self.channels, self.kernel_size, dilation=1, dtype=self.dtype, name=f"conv2_{i}")(xt)
+            x = x + xt
+        return x
+
+
+class ResBlock2(nn.Module):
+    """2x dilated conv residual stack (ref models.py:201-222)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Tuple[int, ...] = (1, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilations):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = Conv1d(self.channels, self.kernel_size, dilation=d, dtype=self.dtype, name=f"conv_{i}")(xt)
+            x = x + xt
+        return x
+
+
+def _mrf(cfg: VAEGANConfig, x, channels: int, stage: int, dtype) -> jnp.ndarray:
+    """Multi-receptive-field fusion: average of parallel resblocks."""
+    block = ResBlock1 if cfg.resblock == "1" else ResBlock2
+    acc = None
+    for j, (k, d) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
+        y = block(channels, k, tuple(d), dtype=dtype, name=f"res_{stage}_{j}")(x)
+        acc = y if acc is None else acc + y
+    return acc / len(cfg.resblock_kernel_sizes)
+
+
+class VAEEncoder(nn.Module):
+    """Audio (B, T) -> (z, m, logs), each (B, T // hop, inter_channels)."""
+
+    cfg: VAEGANConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, audio: jnp.ndarray, rng: Optional[jax.Array] = None, sample: bool = True):
+        cfg = self.cfg
+        n_stages = len(cfg.upsample_rates)
+        uic = cfg.upsample_initial_channel
+
+        x = audio[..., None]  # (B, T, 1)
+        x = Conv1d(uic // (2**n_stages), 7, dtype=self.dtype, name="conv_pre")(x)
+        # mirror of the generator: strided convs over reversed rates
+        rates = list(reversed(cfg.upsample_rates))
+        kernels = list(reversed(cfg.upsample_kernel_sizes))
+        for i, (u, k) in enumerate(zip(rates, kernels)):
+            ch = uic // (2 ** (n_stages - i - 1))
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            x = Conv1d(ch, k, stride=u, padding=(k - u + 1) // 2, dtype=self.dtype, name=f"down_{i}")(x)
+            x = _mrf(cfg, x, ch, i, self.dtype)
+        x = nn.leaky_relu(x)  # default slope 0.01, matching ref models.py:55
+        x = Conv1d(2 * cfg.inter_channels, 7, dtype=self.dtype, name="conv_post")(x)
+        m, logs = jnp.split(x, 2, axis=-1)
+        if sample:
+            if rng is None:
+                rng = self.make_rng("latent")
+            z = m + jax.random.normal(rng, m.shape, dtype=m.dtype) * jnp.exp(logs)
+        else:
+            z = m
+        return z, m, logs
+
+
+class Generator(nn.Module):
+    """Latents (B, T, inter_channels) -> waveform (B, T * hop)."""
+
+    cfg: VAEGANConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        uic = cfg.upsample_initial_channel
+        x = Conv1d(uic, 7, dtype=self.dtype, name="conv_pre")(z)
+        for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            ch = uic // (2 ** (i + 1))
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            x = ConvTranspose1d(ch, k, stride=u, padding=(k - u + 1) // 2, dtype=self.dtype, name=f"up_{i}")(x)
+            x = _mrf(cfg, x, ch, i, self.dtype)
+        x = nn.leaky_relu(x)
+        x = Conv1d(1, 7, dtype=self.dtype, name="conv_post")(x)
+        return jnp.tanh(x)[..., 0]
