@@ -1,0 +1,110 @@
+"""Semantic unit extraction facade (reference `Units_Encoder`, tools/tools.py:43-103).
+
+Registry of unit encoders (whisper_large_v3 implemented natively in JAX;
+w2v-bert / xlsr slots kept behind the same interface), cached input
+resampling, <400-sample pad rule, and rate-forcing modes.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from latent_diffusion_speech_tpu.models.whisper import (
+    WhisperDims,
+    WhisperEncoder,
+    whisper_encoder_params_from_torch,
+)
+from latent_diffusion_speech_tpu.ops.resample import resample
+from latent_diffusion_speech_tpu.ops.stft import whisper_log_mel
+
+ENCODER_OUT_CHANNELS = {
+    "whisper_large_v3": 1280,
+    "w2v-bert": 1024,
+    "xlsr_53_56k": 1024,
+    "hubert_soft": 256,
+}
+
+
+def get_encoder_out_channels(encoder: str) -> int:
+    """Reference `get_encdoer_out_channels` (tools/tools.py:257+)."""
+    if encoder not in ENCODER_OUT_CHANNELS:
+        raise ValueError(f"[x] Unknown units encoder: {encoder}")
+    return ENCODER_OUT_CHANNELS[encoder]
+
+
+class WhisperLargeV3Units:
+    """Whisper-large-v3 encoder as the unit extractor (ref tools/tools.py:105-126).
+
+    16 kHz audio -> log-mel(128) -> encoder -> (T // 320) frames of 1280-d units.
+    """
+
+    def __init__(self, ckpt_path: Optional[str] = None, dims: Optional[WhisperDims] = None, dtype=jnp.bfloat16, seed: int = 0):
+        if ckpt_path and Path(ckpt_path).exists():
+            import torch
+
+            ck = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+            self.dims = WhisperDims.from_checkpoint_dims(ck["dims"])
+            self.model = WhisperEncoder(self.dims, dtype=dtype)
+            self.params = jax.tree_util.tree_map(
+                jnp.asarray, whisper_encoder_params_from_torch(ck["model_state_dict"], self.dims)
+            )
+        else:
+            self.dims = dims or WhisperDims()
+            self.model = WhisperEncoder(self.dims, dtype=dtype)
+            probe = jnp.zeros((1, self.dims.n_mels, 8))
+            self.params = self.model.init(jax.random.PRNGKey(seed), probe)["params"]
+        self._apply = jax.jit(lambda p, mel: self.model.apply({"params": p}, mel))
+
+    def __call__(self, audio16k: jnp.ndarray) -> jnp.ndarray:
+        """(B, T) 16 kHz float audio -> (B, T // 320, n_state) units."""
+        if audio16k.ndim == 1:
+            audio16k = audio16k[None]
+        mel = whisper_log_mel(audio16k, n_mels=self.dims.n_mels)
+        return self._apply(self.params, mel)
+
+
+class UnitsEncoder:
+    def __init__(
+        self,
+        encoder: str = "whisper_large_v3",
+        encoder_sample_rate: int = 16000,
+        encoder_hop_size: int = 320,
+        units_forced_mode: str = "nearest",
+        ckpt_path: Optional[str] = None,
+        **kw,
+    ):
+        self.encoder = encoder
+        if encoder == "whisper_large_v3":
+            self.model = WhisperLargeV3Units(ckpt_path=ckpt_path, **kw)
+        elif encoder in ("w2v-bert", "xlsr_53_56k"):
+            raise NotImplementedError(
+                f"units encoder '{encoder}' requires external pretrained weights; "
+                "use whisper_large_v3 or plug a custom callable into UnitsEncoder.model"
+            )
+        else:
+            raise ValueError(f"[x] Unknown units encoder: {encoder}")
+
+        self.units_forced_mode = units_forced_mode or "left"
+        # rate-forcing modes resample to a slightly detuned encoder rate so the
+        # unit frame grid lands exactly on the 44.1k/512 latent grid
+        # (ref tools/tools.py:67-70)
+        if units_forced_mode == "rfa512to441":
+            encoder_sample_rate = encoder_sample_rate * 441 // 512
+        if units_forced_mode == "rfa441to512":
+            encoder_sample_rate = encoder_sample_rate * 512 // 441
+        self.encoder_sample_rate = encoder_sample_rate
+        self.encoder_hop_size = encoder_hop_size
+
+    def encode(self, audio: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
+        """Audio (B, T) or (T,) at `sample_rate` -> units (B, T_units, C)."""
+        if audio.ndim == 1:
+            audio = audio[None]
+        if sample_rate != self.encoder_sample_rate:
+            audio = resample(audio, sample_rate, self.encoder_sample_rate)
+        if audio.shape[-1] < 400:  # ref tools/tools.py:96-97
+            audio = jnp.pad(audio, ((0, 0), (0, 400 - audio.shape[-1])))
+        return self.model(audio)

@@ -1,0 +1,75 @@
+"""Shared multi-head attention op.
+
+One attention implementation feeds every model in the framework (whisper
+encoder, UNet transformer blocks, RoFormer/Llama LMs) — where the reference
+used three different stacks (manual qkv `whisper/model.py:70-83`, diffusers
+`attention_processor.py` SDPA, and flash-attn CUDA kernels
+`roformer_flash_attn.py`).
+
+The default path is XLA SDPA-style einsum attention with f32 softmax (bf16-in,
+bf16-out, f32 accumulate — the TPU-native mixed precision).  A Pallas
+flash-attention kernel (ops/pallas/flash_attention.py) plugs in behind the same
+signature for long sequences; for the frame counts this stack sees (~100-3000)
+XLA's fused softmax is already near roofline, so the Pallas path is opt-in.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["dot_product_attention", "rotate_half", "apply_rotary"]
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    is_causal: bool = False,
+    scale: Optional[float] = None,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Attention over (B, T, H, D) tensors (q: T_q, k/v: T_kv).
+
+    mask: broadcastable boolean (True = attend) of shape (..., T_q, T_kv).
+    bias: additive float bias, same broadcast rules.
+    Softmax is computed in float32 regardless of input dtype.
+    """
+    orig_dtype = q.dtype
+    d = q.shape[-1]
+    scale = scale if scale is not None else d**-0.5
+
+    if impl == "pallas":
+        from latent_diffusion_speech_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, bias=bias, mask=mask, is_causal=is_causal, scale=scale)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if is_causal:
+        t_q, t_kv = logits.shape[-2], logits.shape[-1]
+        causal = jnp.tril(jnp.ones((t_q, t_kv), dtype=bool), k=t_kv - t_q)
+        logits = jnp.where(causal, logits, jnp.finfo(jnp.float32).min)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    weights = jax.nn.softmax(logits, axis=-1).astype(orig_dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+def rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    """(…, 2d) -> rotate pairs: HF RoFormer convention (interleaved pairs)."""
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
+def apply_rotary(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray) -> jnp.ndarray:
+    """Rotary position embedding, HF RoFormer convention: sin/cos of shape
+    (T, D) with values repeated pairwise ([s0,s0,s1,s1,...])."""
+    return x * cos + rotate_half(x) * sin
