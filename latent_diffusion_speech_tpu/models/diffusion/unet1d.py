@@ -1,0 +1,212 @@
+"""Conditional UNet-1D denoiser in flax (channels-last).
+
+This is the *effective* architecture the reference instantiates — the diffusers
+UNet2DConditionModel 1-D port (`diffusion/unet1d/`) reduced to the single
+configuration `Unit2Mel` builds (`diffusion/unit2mel.py:62-71`):
+
+* conv_in k3 -> 4 down blocks (2x [ResBlock + TransformerBlock] for the first
+  three, 2x ResBlock for the last; strided-conv downsample between) -> mid
+  (ResBlock + Transformer + ResBlock) -> 4 up blocks (3x [concat skip +
+  ResBlock (+Transformer)], nearest-x2-upsample + conv between) -> GroupNorm ->
+  SiLU -> conv_out k3  (`unet_1d_condition.py:949-1035`, `unet_1d_blocks.py`).
+* ResBlock: GroupNorm -> SiLU -> conv k3 -> time-emb 'scale_shift' -> GroupNorm
+  -> (1+scale)*h+shift -> SiLU -> conv k3, 1x1 shortcut (`resnet.py:461-645`).
+* TransformerBlock: GroupNorm(eps 1e-6) -> 1x1 conv in -> [LN -> self-attn ->
+  LN -> self-attn -> LN -> GEGLU FF] -> 1x1 conv out + residual
+  (`transformer_1d.py:258-295`, `attention.py:129-204`; with
+  only_cross_attention=True and no encoder states both attentions act as
+  self-attention at runtime).
+* Timesteps: sinusoidal (flip_sin_to_cos, shift 0) -> MLP to 4*boc[0]
+  (`embeddings.py:24-66,157-203`).
+
+TPU-first: channels-last convs on the MXU, f32 softmax inside bf16 compute,
+`nn.remat` on blocks for rematerialized training.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from latent_diffusion_speech_tpu.ops.attention import dot_product_attention
+
+__all__ = ["UNet1DConfig", "UNet1D"]
+
+
+@dataclass(frozen=True)
+class UNet1DConfig:
+    in_channels: int = 384           # out_dims + n_hidden
+    out_channels: int = 128
+    block_out_channels: Tuple[int, ...] = (256, 384, 512, 512)
+    layers_per_block: int = 2
+    n_heads: int = 8
+    norm_num_groups: int = 8
+    cross_attn: Tuple[bool, ...] = (True, True, True, False)  # per down block
+    dropout: float = 0.0
+    remat: bool = False
+
+    @property
+    def downsample_factor(self) -> int:
+        return 2 ** (len(self.block_out_channels) - 1)
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal embedding, diffusers convention: flip_sin_to_cos=True,
+    downscale_freq_shift=0 -> [cos | sin]."""
+    half = dim // 2
+    freqs = jnp.exp(-jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class ResBlock1D(nn.Module):
+    out_channels: int
+    groups: int = 8
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        """x (B, T, C), temb (B, E). 'scale_shift' time conditioning."""
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3,), padding=[(1, 1)], dtype=self.dtype, name="conv1")(h)
+
+        emb = nn.Dense(2 * self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+        scale, shift = jnp.split(emb[:, None, :], 2, axis=-1)
+
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm2")(h)
+        h = h * (1 + scale) + shift
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3,), padding=[(1, 1)], dtype=self.dtype, name="conv2")(h)
+
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1,), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class SelfAttention(nn.Module):
+    channels: int
+    n_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, C = x.shape
+        d = self.channels // self.n_heads
+        q = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        out = dot_product_attention(
+            q.reshape(B, T, self.n_heads, d),
+            k.reshape(B, T, self.n_heads, d),
+            v.reshape(B, T, self.n_heads, d),
+        ).reshape(B, T, C)
+        return nn.Dense(self.channels, dtype=self.dtype, name="to_out")(out)
+
+
+class TransformerBlock1D(nn.Module):
+    """Transformer2DModel(num_layers=1) effective runtime path."""
+
+    channels: int
+    n_heads: int
+    groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="norm")(x)
+        h = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(h)  # 1x1 conv == dense
+
+        # BasicTransformerBlock: attn1 + attn2 (both self-attn at runtime) + GEGLU FF
+        h = h + SelfAttention(self.channels, self.n_heads, dtype=self.dtype, name="attn1")(
+            nn.LayerNorm(name="norm1")(h)
+        )
+        h = h + SelfAttention(self.channels, self.n_heads, dtype=self.dtype, name="attn2")(
+            nn.LayerNorm(name="norm2")(h)
+        )
+        ff_in = nn.LayerNorm(name="norm3")(h)
+        gate = nn.Dense(8 * self.channels, dtype=self.dtype, name="ff_proj")(ff_in)
+        a, g = jnp.split(gate, 2, axis=-1)
+        h = h + nn.Dense(self.channels, dtype=self.dtype, name="ff_out")(a * nn.gelu(g, approximate=False))
+
+        h = nn.Dense(self.channels, dtype=self.dtype, name="proj_out")(h)
+        return h + residual
+
+
+class Downsample1D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.channels, (3,), strides=(2,), padding=[(1, 1)], dtype=self.dtype, name="conv")(x)
+
+
+class Upsample1D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.repeat(x, 2, axis=1)  # nearest x2
+        return nn.Conv(self.channels, (3,), padding=[(1, 1)], dtype=self.dtype, name="conv")(x)
+
+
+class UNet1D(nn.Module):
+    cfg: UNet1DConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        """x (B, T, in_channels) noisy-spec ++ condition; t (B,) int/float steps.
+        Returns eps-prediction (B, T, out_channels).  T must be divisible by
+        2**(n_blocks-1); GaussianDiffusion pads to that grid."""
+        cfg = self.cfg
+        boc = cfg.block_out_channels
+        n_blocks = len(boc)
+        res_block = nn.remat(ResBlock1D) if cfg.remat else ResBlock1D
+        attn_block = nn.remat(TransformerBlock1D) if cfg.remat else TransformerBlock1D
+
+        temb = timestep_embedding(t, boc[0])
+        temb = nn.Dense(4 * boc[0], dtype=self.dtype, name="time_mlp1")(temb)
+        temb = nn.Dense(4 * boc[0], dtype=self.dtype, name="time_mlp2")(nn.silu(temb))
+
+        h = nn.Conv(boc[0], (3,), padding=[(1, 1)], dtype=self.dtype, name="conv_in")(x)
+        skips = [h]
+
+        # down
+        for i in range(n_blocks):
+            for j in range(cfg.layers_per_block):
+                h = res_block(boc[i], cfg.norm_num_groups, dtype=self.dtype, name=f"down_{i}_res_{j}")(h, temb)
+                if cfg.cross_attn[i]:
+                    h = attn_block(boc[i], cfg.n_heads, cfg.norm_num_groups, dtype=self.dtype, name=f"down_{i}_attn_{j}")(h)
+                skips.append(h)
+            if i < n_blocks - 1:
+                h = Downsample1D(boc[i], dtype=self.dtype, name=f"down_{i}_downsample")(h)
+                skips.append(h)
+
+        # mid
+        h = res_block(boc[-1], cfg.norm_num_groups, dtype=self.dtype, name="mid_res_0")(h, temb)
+        h = attn_block(boc[-1], cfg.n_heads, cfg.norm_num_groups, dtype=self.dtype, name="mid_attn")(h)
+        h = res_block(boc[-1], cfg.norm_num_groups, dtype=self.dtype, name="mid_res_1")(h, temb)
+
+        # up (reversed channel order; num_layers = layers_per_block + 1)
+        rev = list(reversed(boc))
+        rev_attn = list(reversed(cfg.cross_attn))
+        for i in range(n_blocks):
+            for j in range(cfg.layers_per_block + 1):
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                h = res_block(rev[i], cfg.norm_num_groups, dtype=self.dtype, name=f"up_{i}_res_{j}")(h, temb)
+                if rev_attn[i]:
+                    h = attn_block(rev[i], cfg.n_heads, cfg.norm_num_groups, dtype=self.dtype, name=f"up_{i}_attn_{j}")(h)
+            if i < n_blocks - 1:
+                h = Upsample1D(rev[i], dtype=self.dtype, name=f"up_{i}_upsample")(h)
+
+        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5, name="conv_norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(cfg.out_channels, (3,), padding=[(1, 1)], dtype=self.dtype, name="conv_out")(h)

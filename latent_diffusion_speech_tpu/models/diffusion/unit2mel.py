@@ -1,0 +1,161 @@
+"""Unit2Mel: condition builder + UNet denoiser as one flax module.
+
+Parity with the *intended* reference `Unit2Mel` (`diffusion/unit2mel.py:51-88`
+with the 2.9 fixes applied: the constructor takes `use_pitch_aug`, gating an
+aug-shift embedding; `is_tts` selects the no-volume conditioning path):
+
+condition = unit_embed(units) [+ volume_embed(volume)] [+ spk_embed(spk_id-1)]
+            [+ aug_shift_embed(aug_shift / 5)]
+
+The diffusion process itself lives in `GaussianDiffusion`; this module holds
+parameters and exposes `condition` / `denoise` methods for it.  Use
+`Unit2MelSystem` for a reference-shaped forward(units, ..., infer=...) facade.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from latent_diffusion_speech_tpu.models.diffusion.gaussian import GaussianDiffusion
+from latent_diffusion_speech_tpu.models.diffusion.unet1d import UNet1D, UNet1DConfig
+
+__all__ = ["Unit2MelConfig", "Unit2Mel", "Unit2MelSystem"]
+
+
+@dataclass(frozen=True)
+class Unit2MelConfig:
+    input_channel: int = 1280        # unit encoder dim (whisper_large_v3)
+    n_spk: int = 323
+    use_pitch_aug: bool = True
+    out_dims: int = 128              # vocoder latent bins fed to diffusion
+    n_layers: int = 2
+    block_out_channels: Tuple[int, ...] = (256, 384, 512, 512)
+    n_heads: int = 8
+    n_hidden: int = 256
+    acoustic_scale: float = 1.0
+    is_tts: bool = True              # TTS mode: no volume conditioning
+    timesteps: int = 1000
+    k_step: int = 1000
+    max_beta: float = 0.02
+
+    def unet_config(self, remat: bool = False) -> UNet1DConfig:
+        return UNet1DConfig(
+            in_channels=self.out_dims + self.n_hidden,
+            out_channels=self.out_dims,
+            block_out_channels=self.block_out_channels,
+            layers_per_block=self.n_layers,
+            n_heads=self.n_heads,
+            remat=remat,
+        )
+
+
+class Unit2Mel(nn.Module):
+    cfg: Unit2MelConfig
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        cfg = self.cfg
+        self.unit_embed = nn.Dense(cfg.n_hidden, dtype=self.dtype, name="unit_embed")
+        if not cfg.is_tts:
+            self.volume_embed = nn.Dense(cfg.n_hidden, dtype=self.dtype, name="volume_embed")
+        if cfg.n_spk is not None and cfg.n_spk > 1:
+            self.spk_embed = nn.Embed(cfg.n_spk, cfg.n_hidden, name="spk_embed")
+        if cfg.use_pitch_aug:
+            self.aug_shift_embed = nn.Dense(cfg.n_hidden, use_bias=False, dtype=self.dtype, name="aug_shift_embed")
+        self.unet = UNet1D(cfg.unet_config(self.remat), dtype=self.dtype, name="unet")
+
+    def condition(
+        self,
+        units: jnp.ndarray,
+        volume: Optional[jnp.ndarray] = None,
+        spk_id: Optional[jnp.ndarray] = None,
+        aug_shift: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """units (B, T, C_in) -> condition (B, T, n_hidden)."""
+        cfg = self.cfg
+        x = self.unit_embed(units)
+        if volume is not None and not cfg.is_tts:
+            x = x + self.volume_embed(volume[..., None])
+        if cfg.n_spk is not None and cfg.n_spk > 1 and spk_id is not None:
+            # reference convention: speaker ids are 1-based (unit2mel.py:82)
+            x = x + self.spk_embed(spk_id - 1)
+        if cfg.use_pitch_aug and aug_shift is not None:
+            x = x + self.aug_shift_embed(aug_shift[..., None] / 5.0)
+        return x
+
+    def denoise(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        return self.unet(x, t)
+
+    def __call__(self, units, volume=None, spk_id=None, aug_shift=None):
+        """Init-path: touches every parameter. Returns (cond, eps) shapes."""
+        cond = self.condition(units, volume, spk_id, aug_shift)
+        B, T = cond.shape[:2]
+        x = jnp.zeros((B, T, self.cfg.out_dims + self.cfg.n_hidden), cond.dtype)
+        t = jnp.zeros((B,), jnp.int32)
+        return self.denoise(x, t)
+
+
+class Unit2MelSystem:
+    """Reference-shaped facade: forward(units, volume, spk_id, aug_shift,
+    gt_spec, infer, ...) over (module, params, GaussianDiffusion)."""
+
+    def __init__(self, cfg: Unit2MelConfig, params=None, dtype=jnp.float32, remat: bool = False, seed: int = 0):
+        self.cfg = cfg
+        self.module = Unit2Mel(cfg, dtype=dtype, remat=remat)
+        if params is None:
+            probe_units = jnp.zeros((1, 8, cfg.input_channel))
+            probe_spk = jnp.zeros((1, 8), jnp.int32) + 1
+            params = self.module.init(jax.random.PRNGKey(seed), probe_units, spk_id=probe_spk)["params"]
+        self.params = params
+        self.diffusion = GaussianDiffusion(
+            denoise_fn=self._denoise,
+            out_dims=cfg.out_dims,
+            timesteps=cfg.timesteps,
+            k_step=cfg.k_step,
+            max_beta=cfg.max_beta,
+            acoustic_scale=cfg.acoustic_scale,
+            pad_multiple=2 ** (len(cfg.block_out_channels) - 1),
+        )
+        self._params_override = None
+
+    def _denoise(self, x, t):
+        params = self._params_override if self._params_override is not None else self.params
+        return self.module.apply({"params": params}, x, t, method=self.module.denoise)
+
+    def condition(self, units, volume=None, spk_id=None, aug_shift=None, params=None):
+        params = params if params is not None else self.params
+        return self.module.apply(
+            {"params": params}, units, volume, spk_id, aug_shift, method=self.module.condition
+        )
+
+    def loss(self, params, units, gt_spec, rng, volume=None, spk_id=None, aug_shift=None, k_step=None):
+        """Differentiable training loss wrt params."""
+        self._params_override = params
+        try:
+            cond = self.condition(units, volume, spk_id, aug_shift, params=params)
+            return self.diffusion.p_losses(gt_spec, cond, rng, k_step=k_step)
+        finally:
+            self._params_override = None
+
+    def infer(
+        self,
+        units,
+        rng,
+        volume=None,
+        spk_id=None,
+        aug_shift=None,
+        method: str = "unipc",
+        infer_speedup: int = 10,
+        gt_spec=None,
+        k_step=None,
+    ):
+        cond = self.condition(units, volume, spk_id, aug_shift)
+        return self.diffusion.sample(
+            cond, rng, method=method, infer_speedup=infer_speedup, k_step=k_step, gt_spec=gt_spec
+        )
