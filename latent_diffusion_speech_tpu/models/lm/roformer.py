@@ -1,0 +1,404 @@
+"""RoFormer encoder-decoder text->semantic LM in flax.
+
+Architecture parity with HF RoFormer as the reference uses it
+(`text2semantic/roformer/roformer.py:59-255`):
+* post-LN BERT layers; rotary position embeddings (interleaved-pair
+  convention) applied to q,k in *self*-attention only; cross-attention plain.
+* embeddings = word + token_type(LN(eps=1e-12)); tones ride the token_type
+  channel; per-token speaker embedding added to encoder input embeds
+  (`roformer.py:118-121,153-157`).
+* vocab: phone mode = len(symbols)+BOS/EOS/PAD; semantic = kmeans_num+3 with
+  BOS=K, EOS=K+1, PAD=K+2 (`roformer.py:74-104`); decoder token embedding
+  warm-started from k-means centroids when dims match (`roformer.py:111-116`).
+* LM head: dense+act+LN transform, decoder projection tied to the semantic
+  word embeddings + bias (HF RoFormerOnlyMLMHead).
+
+Generation (`RoformerSystem.generate`) is a `lax.scan` with a preallocated
+KV cache; cross-attention K/V computed once — replacing HF `generate`'s
+Python loop (`roformer.py:235-242`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from latent_diffusion_speech_tpu.models.lm.sampling import SamplingConfig, ar_generate
+from latent_diffusion_speech_tpu.ops.attention import dot_product_attention
+from latent_diffusion_speech_tpu.text.symbols import num_tones, symbols
+
+__all__ = ["RoformerConfig", "Roformer", "RoformerSystem"]
+
+
+@dataclass(frozen=True)
+class StackConfig:
+    hidden_size: int = 256
+    num_attention_heads: int = 8
+    num_hidden_layers: int = 4
+    intermediate_size: int = 512
+    layer_norm_eps: float = 1e-12
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 3072
+
+
+@dataclass(frozen=True)
+class RoformerConfig:
+    encoder: StackConfig = field(default_factory=StackConfig)
+    decoder: StackConfig = field(default_factory=lambda: StackConfig(num_hidden_layers=1))
+    mode: str = "phone"
+    semantic_kmeans_num: int = 4096
+    n_spk: int = 323
+    text_vocab_size: Optional[int] = None  # for mode="text": external tokenizer vocab
+
+    @property
+    def phone_vocab_size(self) -> int:
+        if "phone" in self.mode:
+            return len(symbols) + 3
+        assert self.text_vocab_size is not None, "text mode needs text_vocab_size"
+        return self.text_vocab_size
+
+    @property
+    def num_token_types(self) -> int:
+        return (num_tones + 1) if "phone" in self.mode else 1
+
+    @property
+    def phone_bos(self) -> int:
+        return len(symbols) if "phone" in self.mode else 101  # BERT [CLS]
+
+    @property
+    def phone_eos(self) -> int:
+        return len(symbols) + 1 if "phone" in self.mode else 102  # BERT [SEP]
+
+    @property
+    def phone_pad(self) -> int:
+        return len(symbols) + 2 if "phone" in self.mode else 0  # BERT [PAD]
+
+    @property
+    def semantic_vocab_size(self) -> int:
+        return self.semantic_kmeans_num + 3
+
+    @property
+    def semantic_bos(self) -> int:
+        return self.semantic_kmeans_num
+
+    @property
+    def semantic_eos(self) -> int:
+        return self.semantic_kmeans_num + 1
+
+    @property
+    def semantic_pad(self) -> int:
+        return self.semantic_kmeans_num + 2
+
+
+def rotary_sin_cos(positions: jnp.ndarray, dim: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pairwise-repeated sin/cos for the RoFormer rotary convention.
+    positions (...,) -> sin/cos (..., dim)."""
+    inv_freq = 1.0 / (10000.0 ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., dim/2)
+    sin = jnp.repeat(jnp.sin(angles), 2, axis=-1)
+    cos = jnp.repeat(jnp.cos(angles), 2, axis=-1)
+    return sin, cos
+
+
+def apply_rotary_pairs(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray) -> jnp.ndarray:
+    """x (B, T, H, D); sin/cos (T, D) or (B, T, D) pairwise-repeated."""
+    if sin.ndim == 2:
+        sin = sin[None, :, None, :]
+        cos = cos[None, :, None, :]
+    else:
+        sin = sin[:, :, None, :]
+        cos = cos[:, :, None, :]
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    rot = jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+    return x * cos + rot * sin
+
+
+class Attention(nn.Module):
+    cfg: StackConfig
+    use_rotary: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def _heads(self, x):
+        B, T, C = x.shape
+        H = self.cfg.num_attention_heads
+        return x.reshape(B, T, H, C // H)
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        kv_source=None,
+        mask=None,
+        is_causal=False,
+        positions=None,
+        cache=None,
+        cache_index=None,
+    ):
+        """Returns (out, new_cache). kv_source != None -> cross attention.
+
+        cache: optional dict {'k','v'} (B, max_len, H, D) for incremental
+        decoding: the current q/k/v at `cache_index` are written in, and
+        attention runs over the valid prefix."""
+        cfg = self.cfg
+        C = cfg.hidden_size
+        source = x if kv_source is None else kv_source
+        q = self._heads(nn.Dense(C, dtype=self.dtype, name="query")(x))
+        k = self._heads(nn.Dense(C, dtype=self.dtype, name="key")(source))
+        v = self._heads(nn.Dense(C, dtype=self.dtype, name="value")(source))
+
+        if self.use_rotary and kv_source is None:
+            if positions is None:
+                positions = jnp.arange(x.shape[1])
+            sin, cos = rotary_sin_cos(positions, C // cfg.num_attention_heads)
+            if sin.ndim == 2 and positions.ndim == 1:
+                pass
+            q = apply_rotary_pairs(q, sin, cos)
+            k = apply_rotary_pairs(k, sin, cos)
+
+        new_cache = None
+        if cache is not None:
+            # write current k/v at cache_index; attend over [0, cache_index]
+            k_cache = jax.lax.dynamic_update_slice(cache["k"], k, (0, cache_index, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(cache["v"], v, (0, cache_index, 0, 0))
+            new_cache = {"k": k_cache, "v": v_cache}
+            k, v = k_cache, v_cache
+            valid = jnp.arange(k.shape[1])[None, None, None, :] <= cache_index
+            mask = valid if mask is None else (mask & valid)
+            is_causal = False
+
+        out = dot_product_attention(q, k, v, mask=mask, is_causal=is_causal)
+        out = out.reshape(x.shape[0], x.shape[1], C)
+        return nn.Dense(C, dtype=self.dtype, name="out")(out), new_cache
+
+
+class Layer(nn.Module):
+    """Post-LN transformer layer (HF Bert/RoFormer style)."""
+
+    cfg: StackConfig
+    cross_attention: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        enc_states=None,
+        self_mask=None,
+        cross_mask=None,
+        is_causal=False,
+        positions=None,
+        cache=None,
+        cache_index=None,
+    ):
+        eps = self.cfg.layer_norm_eps
+        h, new_cache = Attention(self.cfg, dtype=self.dtype, name="self_attn")(
+            x, mask=self_mask, is_causal=is_causal, positions=positions,
+            cache=cache, cache_index=cache_index,
+        )
+        x = nn.LayerNorm(epsilon=eps, name="self_ln")(x + h)
+
+        if self.cross_attention and enc_states is not None:
+            h, _ = Attention(self.cfg, use_rotary=False, dtype=self.dtype, name="cross_attn")(
+                x, kv_source=enc_states, mask=cross_mask
+            )
+            x = nn.LayerNorm(epsilon=eps, name="cross_ln")(x + h)
+
+        h = nn.Dense(self.cfg.intermediate_size, dtype=self.dtype, name="ff_in")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="ff_out")(h)
+        x = nn.LayerNorm(epsilon=eps, name="ff_ln")(x + h)
+        return x, new_cache
+
+
+class Roformer(nn.Module):
+    cfg: RoformerConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        ecfg, dcfg = cfg.encoder, cfg.decoder
+        self.phone_embed = nn.Embed(cfg.phone_vocab_size, ecfg.hidden_size, name="phone_embed")
+        self.tone_embed = nn.Embed(cfg.num_token_types, ecfg.hidden_size, name="tone_embed")
+        self.enc_emb_ln = nn.LayerNorm(epsilon=ecfg.layer_norm_eps, name="enc_emb_ln")
+        self.encoder_layers = [
+            Layer(ecfg, dtype=self.dtype, name=f"enc_{i}") for i in range(ecfg.num_hidden_layers)
+        ]
+        if cfg.n_spk and cfg.n_spk > 1:
+            self.spk_embed = nn.Embed(cfg.n_spk + 1, ecfg.hidden_size, name="spk_embed")
+
+        self.semantic_embed = nn.Embed(cfg.semantic_vocab_size, dcfg.hidden_size, name="semantic_embed")
+        self.dec_type_embed = nn.Embed(1, dcfg.hidden_size, name="dec_type_embed")
+        self.dec_emb_ln = nn.LayerNorm(epsilon=dcfg.layer_norm_eps, name="dec_emb_ln")
+        self.decoder_layers = [
+            Layer(dcfg, cross_attention=True, dtype=self.dtype, name=f"dec_{i}")
+            for i in range(dcfg.num_hidden_layers)
+        ]
+        # LM head: transform + tied decoder projection + bias
+        self.head_transform = nn.Dense(dcfg.hidden_size, dtype=self.dtype, name="head_transform")
+        self.head_ln = nn.LayerNorm(epsilon=dcfg.layer_norm_eps, name="head_ln")
+        self.head_bias = self.param("head_bias", nn.initializers.zeros, (cfg.semantic_vocab_size,))
+
+    # -- encoder -------------------------------------------------------------
+
+    def encode(self, phone, tone, spk_id=None, attention_mask=None):
+        """phone/tone (B, L) -> encoder states (B, L, C)."""
+        x = self.phone_embed(phone) + self.tone_embed(tone)
+        x = self.enc_emb_ln(x)
+        if self.cfg.n_spk and self.cfg.n_spk > 1 and spk_id is not None:
+            x = x + self.spk_embed(spk_id)
+        mask = None
+        if attention_mask is not None:
+            mask = attention_mask[:, None, None, :].astype(bool)
+        for layer in self.encoder_layers:
+            x, _ = layer(x, self_mask=mask)
+        return x
+
+    # -- decoder (teacher-forced) -------------------------------------------
+
+    def _lm_head(self, x):
+        h = self.head_transform(x)
+        h = nn.gelu(h, approximate=False)
+        h = self.head_ln(h)
+        logits = h @ self.semantic_embed.embedding.T.astype(h.dtype) + self.head_bias
+        return logits
+
+    def decode_train(self, semantic, enc_states, self_mask=None, cross_mask=None):
+        """semantic (B, S) ids -> logits (B, S, V). Causal."""
+        x = self.semantic_embed(semantic) + self.dec_type_embed(jnp.zeros_like(semantic))
+        x = self.dec_emb_ln(x)
+        sm = self_mask[:, None, None, :].astype(bool) if self_mask is not None else None
+        cm = cross_mask[:, None, None, :].astype(bool) if cross_mask is not None else None
+        for layer in self.decoder_layers:
+            x, _ = layer(x, enc_states=enc_states, self_mask=sm, cross_mask=cm, is_causal=True)
+        return self._lm_head(x)
+
+    def __call__(self, phone, tone, semantic, spk_id=None, encoder_attention_mask=None, attention_mask=None):
+        enc = self.encode(phone, tone, spk_id, encoder_attention_mask)
+        return self.decode_train(semantic, enc, self_mask=attention_mask, cross_mask=encoder_attention_mask)
+
+    # -- decoder (incremental) ----------------------------------------------
+
+    def decode_step(self, token, pos, caches, enc_states, cross_mask=None):
+        """One decode step. token (B,), pos scalar, caches: list per layer.
+        Returns (logits (B, V), new_caches)."""
+        x = self.semantic_embed(token[:, None]) + self.dec_type_embed(jnp.zeros_like(token[:, None]))
+        x = self.dec_emb_ln(x)
+        cm = cross_mask[:, None, None, :].astype(bool) if cross_mask is not None else None
+        positions = jnp.asarray([pos])
+        new_caches = []
+        for layer, cache in zip(self.decoder_layers, caches):
+            x, new_cache = layer(
+                x, enc_states=enc_states, cross_mask=cm,
+                positions=positions, cache=cache, cache_index=pos,
+            )
+            new_caches.append(new_cache)
+        return self._lm_head(x)[:, 0], new_caches
+
+    def init_cache(self, batch: int, max_len: int):
+        dcfg = self.cfg.decoder
+        H = dcfg.num_attention_heads
+        D = dcfg.hidden_size // H
+        return [
+            {
+                "k": jnp.zeros((batch, max_len, H, D), self.dtype),
+                "v": jnp.zeros((batch, max_len, H, D), self.dtype),
+            }
+            for _ in range(dcfg.num_hidden_layers)
+        ]
+
+
+class RoformerSystem:
+    """Owns (module, params); exposes loss / generate with jit."""
+
+    def __init__(self, cfg: RoformerConfig, params=None, dtype=jnp.float32, seed: int = 0,
+                 codebook: Optional[np.ndarray] = None):
+        self.cfg = cfg
+        self.module = Roformer(cfg, dtype=dtype)
+        if params is None:
+            p = jnp.zeros((1, 4), jnp.int32)
+            params = self.module.init(jax.random.PRNGKey(seed), p, p, p, spk_id=p)["params"]
+            if codebook is not None and codebook.shape[1] == cfg.decoder.hidden_size:
+                # warm-start semantic embedding rows from k-means centroids
+                emb = np.asarray(params["semantic_embed"]["embedding"])
+                emb[: cfg.semantic_kmeans_num] = codebook
+                params = dict(params)
+                params["semantic_embed"] = {"embedding": jnp.asarray(emb)}
+        self.params = params
+
+    def loss(self, params, phone, tone, semantic_in, labels, spk_id=None,
+             encoder_attention_mask=None, attention_mask=None):
+        """Causal CE with -100 ignore (HF convention: logits[:-1] vs labels[1:])."""
+        logits = self.module.apply(
+            {"params": params}, phone, tone, semantic_in, spk_id,
+            encoder_attention_mask, attention_mask,
+        )
+        logits = logits[:, :-1]
+        targets = labels[:, 1:]
+        valid = targets != -100
+        safe = jnp.where(valid, targets, 0)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+    @partial(jax.jit, static_argnames=("self", "sampling"))
+    def _generate(self, params, phone, tone, spk_id, enc_mask, sampling: SamplingConfig, rng):
+        enc = self.module.apply(
+            {"params": params}, phone, tone, spk_id, enc_mask, method=self.module.encode
+        )
+        B = phone.shape[0]
+        max_len = sampling.max_new_tokens + 1
+        caches = self.module.apply(
+            {"params": params}, B, max_len, method=self.module.init_cache
+        )
+
+        def step_fn(carry, token, pos):
+            caches = carry
+            logits, caches = self.module.apply(
+                {"params": params}, token, pos, caches, enc, enc_mask,
+                method=self.module.decode_step,
+            )
+            return caches, logits
+
+        first = jnp.full((B,), self.cfg.semantic_bos, jnp.int32)
+        return ar_generate(step_fn, caches, first, self.cfg.semantic_vocab_size, sampling, rng)
+
+    def generate(
+        self,
+        phone,
+        tone,
+        spk_id=None,
+        attention_mask=None,
+        max_length: int = 1024,
+        do_sample: bool = True,
+        temperature: float = 1.0,
+        top_k: int = 5,
+        top_p: float = 0.8,
+        repetition_penalty: float = 1.2,
+        end_gate_threshold: Optional[float] = None,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Reference-shaped generate (`roformer.py:179-244`). Returns
+        (tokens (B, max_new), lengths (B,)) where tokens exclude BOS and
+        include EOS; PAD after EOS."""
+        sampling = SamplingConfig(
+            max_new_tokens=max_length,
+            do_sample=do_sample,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            repetition_penalty=repetition_penalty,
+            end_gate_threshold=end_gate_threshold,
+            eos_token_id=self.cfg.semantic_eos,
+            pad_token_id=self.cfg.semantic_pad,
+            bos_token_id=self.cfg.semantic_bos,
+        )
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        return self._generate(self.params, phone, tone, spk_id, attention_mask, sampling, rng)
