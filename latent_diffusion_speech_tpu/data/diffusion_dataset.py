@@ -1,0 +1,126 @@
+"""Diffusion training dataset over preprocessed npy dirs.
+
+Behavior parity with the reference `AudioDataset` (`diffusion/data_loaders.py:60-217`),
+minus its double-crop cache bug (SURVEY.md 2.9):
+* items keyed by `audio/<spk>/<name>.wav`; features read from sibling
+  `mel/` (+`aug_mel/`) and `units/` npy files.
+* mel npy stores concat([m, logs]) (B-free (T, 2C)); the latent is sampled
+  z = m + eps * exp(logs) per read (or just m with only_mean), clamped.
+* units re-timed to the mel frame grid (`units_forced_alignment` nearest),
+  then a random fixed-duration crop is taken — static shapes for XLA.
+* speaker ids are 1-based by directory order; rank sharding via
+  paths[process_index::process_count].
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from latent_diffusion_speech_tpu.data.files import speaker_id_map, traverse_dir
+from latent_diffusion_speech_tpu.ops.alignment import units_forced_alignment
+
+__all__ = ["DiffusionDataset"]
+
+
+class DiffusionDataset:
+    def __init__(
+        self,
+        path_root: str | Path,
+        waveform_sec: float = 1.0,
+        hop_size: int = 512,
+        sample_rate: int = 44100,
+        extensions=("wav",),
+        n_spk: int = 1,
+        use_aug: bool = False,
+        units_forced_mode: str = "nearest",
+        only_mean: bool = False,
+        clamp: float = 10.0,
+        whole_audio: bool = False,
+        process_index: int = 0,
+        process_count: int = 1,
+        cache: bool = False,
+        seed: int = 0,
+    ):
+        self.root = Path(path_root)
+        self.frame_len = int(waveform_sec * sample_rate / hop_size)
+        self.hop_size = hop_size
+        self.sample_rate = sample_rate
+        self.units_forced_mode = units_forced_mode
+        self.only_mean = only_mean
+        self.clamp = clamp
+        self.use_aug = use_aug
+        self.whole_audio = whole_audio
+        self.n_spk = n_spk
+
+        all_paths = traverse_dir(self.root / "audio", extensions=extensions)
+        self.spk_map = speaker_id_map(all_paths) if (n_spk and n_spk > 1) else {}
+        self.paths = all_paths[process_index::process_count]
+        self.rng = np.random.default_rng(seed + process_index)
+        self._cache: Optional[Dict] = {} if cache else None
+
+        if n_spk and n_spk > 1 and self.spk_map and max(self.spk_map.values()) > n_spk:
+            raise ValueError("[x] spk_id must be a positive integer from 1 to n_spk")
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def _load(self, name_ext: str, kind: str) -> np.ndarray:
+        if self._cache is not None and (name_ext, kind) in self._cache:
+            return self._cache[(name_ext, kind)]
+        arr = np.load(str(self.root / kind / name_ext) + ".npy")
+        if self._cache is not None:
+            self._cache[(name_ext, kind)] = arr
+        return arr
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        for attempt in range(len(self.paths)):
+            name_ext = self.paths[(idx + attempt) % len(self.paths)]
+            try:
+                item = self._get(name_ext)
+                if item is not None:
+                    return item
+            except (OSError, ValueError, KeyError):
+                continue
+        raise RuntimeError("diffusion dataset: no loadable item found")
+
+    def _get(self, name_ext: str) -> Optional[Dict[str, np.ndarray]]:
+        mel_kind = "aug_mel" if (self.use_aug and self.rng.random() < 0.5) else "mel"
+        try:
+            stats = self._load(name_ext, mel_kind).astype(np.float32)  # (T, 2C)
+        except FileNotFoundError:
+            stats = self._load(name_ext, "mel").astype(np.float32)
+        T = stats.shape[0]
+        C = stats.shape[1] // 2
+        m, logs = stats[:, :C], stats[:, C:]
+        if self.only_mean:
+            mel = m
+        else:
+            mel = m + self.rng.standard_normal(m.shape).astype(np.float32) * np.exp(logs)
+        if self.clamp and self.clamp > 0:
+            mel = np.clip(mel, -self.clamp, self.clamp)
+
+        units = self._load(name_ext, "units").astype(np.float32)
+        units = units_forced_alignment(units, n_frames=T, mode=self.units_forced_mode)
+        units = np.asarray(units)
+
+        frame_len = T if self.whole_audio else self.frame_len
+        if T < frame_len + 2 and not self.whole_audio:
+            return None  # too short; caller advances
+        start = 0 if self.whole_audio else int(self.rng.integers(0, max(T - frame_len, 1)))
+        mel = mel[start : start + frame_len]
+        units = units[start : start + frame_len]
+
+        spk_id = self.spk_map.get(str(Path(name_ext).parent), 1) if self.spk_map else 1
+        return {
+            "mel": mel,
+            "units": units,
+            "spk_id": np.array([spk_id], np.int32),
+            "aug_shift": np.array([0.0], np.float32),
+        }
+
+    def batch(self, indices) -> Dict[str, np.ndarray]:
+        items = [self[i] for i in indices]
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}

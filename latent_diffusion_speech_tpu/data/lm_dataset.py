@@ -1,0 +1,112 @@
+"""LM training dataset over utt/ + semantic_token/ npy dirs.
+
+Behavior parity with the reference `TextDataset` (`text2semantic/roformer/
+dataloader.py:11-232`): items pair `(phones, tones, lang_ids, word2ph)` from
+`utt/` with quantized token ids from `semantic_token/`; semantic sequences are
+BOS/EOS-wrapped; speaker ids are per-token sequences; the collate pads to a
+shared length — here to static buckets (pad-to-multiple) so XLA compiles a
+bounded set of shapes rather than one program per length.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from latent_diffusion_speech_tpu.data.files import speaker_id_map, traverse_dir
+
+__all__ = ["TextDataset", "collate_text_batch"]
+
+
+class TextDataset:
+    def __init__(
+        self,
+        path_root: str | Path,
+        semantic_bos: int,
+        semantic_eos: int,
+        n_spk: int = 1,
+        process_index: int = 0,
+        process_count: int = 1,
+        cache: bool = False,
+    ):
+        self.root = Path(path_root)
+        self.semantic_bos = semantic_bos
+        self.semantic_eos = semantic_eos
+        self.n_spk = n_spk
+        all_paths = traverse_dir(self.root / "utt", extensions=("npy",))
+        self.spk_map = speaker_id_map(all_paths) if (n_spk and n_spk > 1) else {}
+        self.paths = all_paths[process_index::process_count]
+        self._cache: Optional[Dict] = {} if cache else None
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        for attempt in range(len(self.paths)):
+            name = self.paths[(idx + attempt) % len(self.paths)]
+            try:
+                return self._get(name)
+            except (OSError, ValueError, KeyError, FileNotFoundError):
+                continue
+        raise RuntimeError("text dataset: no loadable item found")
+
+    def _get(self, name: str) -> Dict[str, np.ndarray]:
+        if self._cache is not None and name in self._cache:
+            return self._cache[name]
+        phones, tones, lang_ids, word2ph = np.load(self.root / "utt" / name, allow_pickle=True)
+        semantic = np.load(self.root / "semantic_token" / name)
+        semantic = np.concatenate([[self.semantic_bos], semantic, [self.semantic_eos]])
+
+        phones = np.asarray(phones, np.int32)
+        tones = np.asarray(tones, np.int32) if len(np.atleast_1d(tones)) else np.zeros_like(phones)
+        spk = self.spk_map.get(str(Path(name).parent), 1) if self.spk_map else 1
+        item = {
+            "phone": phones,
+            "tone": tones,
+            "semantic": np.asarray(semantic, np.int32),
+            "spk_id": np.full_like(phones, spk),
+        }
+        if self._cache is not None:
+            self._cache[name] = item
+        return item
+
+
+def _pad_to(arr: np.ndarray, length: int, value) -> np.ndarray:
+    out = np.full((length,), value, arr.dtype)
+    out[: len(arr)] = arr[:length]
+    return out
+
+
+def collate_text_batch(
+    items: List[Dict[str, np.ndarray]],
+    phone_pad: int,
+    semantic_pad: int,
+    pad_multiple: int = 32,
+    max_phone_len: Optional[int] = None,
+    max_semantic_len: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Pad to bucketed lengths. labels get -100 on padding (HF ignore index,
+    matching the reference collate, roformer/dataloader.py:198-232)."""
+
+    def bucket(n):
+        return max(pad_multiple, ((n + pad_multiple - 1) // pad_multiple) * pad_multiple)
+
+    pl = max_phone_len or bucket(max(len(it["phone"]) for it in items))
+    sl = max_semantic_len or bucket(max(len(it["semantic"]) for it in items))
+
+    batch = {
+        "phone": np.stack([_pad_to(it["phone"], pl, phone_pad) for it in items]),
+        "tone": np.stack([_pad_to(it["tone"], pl, 0) for it in items]),
+        "semantic": np.stack([_pad_to(it["semantic"], sl, semantic_pad) for it in items]),
+        "labels": np.stack([_pad_to(it["semantic"].astype(np.int32), sl, -100) for it in items]),
+        "encoder_attention_mask": np.stack(
+            [_pad_to(np.ones(len(it["phone"]), np.int32), pl, 0) for it in items]
+        ),
+        "attention_mask": np.stack(
+            [_pad_to(np.ones(len(it["semantic"]), np.int32), sl, 0) for it in items]
+        ),
+        "spk_id": np.stack([_pad_to(it["spk_id"], pl, 0) for it in items]),
+    }
+    return batch

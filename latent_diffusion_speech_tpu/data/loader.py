@@ -1,0 +1,84 @@
+"""Prefetching host->device data loader.
+
+Replaces torch DataLoader workers (`diffusion/data_loaders.py:30-37`) with a
+thread-pool prefetcher that assembles numpy batches ahead of the training step
+and `jax.device_put`s them with the mesh batch sharding — keeping the TPU fed
+without host-callback stalls.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+__all__ = ["DataLoader"]
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        collate: Optional[Callable] = None,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        prefetch: int = 2,
+        num_threads: int = 2,
+        seed: int = 0,
+        device_put: Optional[Callable] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate = collate
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.num_threads = num_threads
+        self.rng = np.random.default_rng(seed)
+        self.device_put = device_put
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        n_full = len(idx) // self.batch_size
+        for b in range(n_full):
+            yield idx[b * self.batch_size : (b + 1) * self.batch_size]
+        if not self.drop_last and len(idx) % self.batch_size:
+            yield idx[n_full * self.batch_size :]
+
+    def _make_batch(self, indices):
+        items = [self.dataset[int(i)] for i in indices]
+        if self.collate is not None:
+            batch = self.collate(items)
+        else:
+            batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        if self.device_put is not None:
+            batch = self.device_put(batch)
+        return batch
+
+    def __iter__(self) -> Iterator:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for indices in self._batches():
+                    q.put(self._make_batch(indices))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item

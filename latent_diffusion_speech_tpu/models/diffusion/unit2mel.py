@@ -111,7 +111,14 @@ class Unit2MelSystem:
         if params is None:
             probe_units = jnp.zeros((1, 8, cfg.input_channel))
             probe_spk = jnp.zeros((1, 8), jnp.int32) + 1
-            params = self.module.init(jax.random.PRNGKey(seed), probe_units, spk_id=probe_spk)["params"]
+            probe_scalar = jnp.zeros((1, 8))
+            params = self.module.init(
+                jax.random.PRNGKey(seed),
+                probe_units,
+                volume=probe_scalar if not cfg.is_tts else None,
+                spk_id=probe_spk,
+                aug_shift=probe_scalar if cfg.use_pitch_aug else None,
+            )["params"]
         self.params = params
         self.diffusion = GaussianDiffusion(
             denoise_fn=self._denoise,

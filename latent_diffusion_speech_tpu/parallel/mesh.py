@@ -103,11 +103,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a host pytree with batch-dim sharding over the data axis."""
+    """Device-put a host pytree with batch-dim sharding over the data axis.
+    Arrays whose batch dim does not divide the data-axis size are replicated
+    (correct, just not sharded — keeps small/ragged eval batches working)."""
+    data_size = mesh.shape[AXIS_DATA]
 
     def put(x):
+        if hasattr(x, "sharding"):  # already on device
+            return x
         x = np.asarray(x)
-        return jax.device_put(x, batch_sharding(mesh, max(1, x.ndim)))
+        if x.ndim >= 1 and x.shape[0] % data_size == 0:
+            return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        return jax.device_put(x, replicated(mesh))
 
     return jax.tree_util.tree_map(put, batch)
 

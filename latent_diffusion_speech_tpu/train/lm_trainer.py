@@ -1,0 +1,188 @@
+"""LM trainer (RoFormer / Llama) with mesh data parallelism.
+
+Re-design of the reference loop (`text2semantic/roformer/train.py:73-159`):
+grad accumulation via optax.MultiSteps (reference: accelerate.accumulate),
+CE with -100 ignore handled inside the model loss, NaN guard, top-k accuracy
+validation (`text2semantic/utils.py:15-20`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from latent_diffusion_speech_tpu.config import Config
+from latent_diffusion_speech_tpu.models.lm import RoformerConfig, RoformerSystem
+from latent_diffusion_speech_tpu.models.lm.roformer import StackConfig
+from latent_diffusion_speech_tpu.parallel.mesh import batch_sharding, build_mesh
+from latent_diffusion_speech_tpu.train.checkpoint import (
+    latest_checkpoint_step,
+    load_checkpoint,
+    save_checkpoint,
+)
+from latent_diffusion_speech_tpu.train.schedule import warmup_step_decay
+
+__all__ = ["LMTrainer", "top_k_accuracy"]
+
+
+def top_k_accuracy(logits: jnp.ndarray, labels: jnp.ndarray, k: int = 5) -> jnp.ndarray:
+    """Top-k accuracy over valid (!= -100) positions (ref text2semantic/utils.py:15-20)."""
+    valid = labels != -100
+    safe = jnp.where(valid, labels, 0)
+    topk = jax.lax.top_k(logits, k)[1]
+    hit = jnp.any(topk == safe[..., None], axis=-1)
+    return jnp.sum(hit & valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def roformer_config_from(cfg: Config) -> RoformerConfig:
+    m = cfg.text2semantic.model
+
+    def stack(tc) -> StackConfig:
+        return StackConfig(
+            hidden_size=tc.hidden_size,
+            num_attention_heads=tc.num_attention_heads,
+            num_hidden_layers=tc.num_hidden_layers,
+            intermediate_size=tc.intermediate_size,
+            layer_norm_eps=tc.layer_norm_eps,
+            hidden_dropout_prob=tc.hidden_dropout_prob,
+            attention_probs_dropout_prob=tc.attention_probs_dropout_prob,
+            max_position_embeddings=tc.max_position_embeddings,
+        )
+
+    return RoformerConfig(
+        encoder=stack(m.encoder),
+        decoder=stack(m.decoder),
+        mode="phone",  # text mode requires an external BERT tokenizer vocab
+        semantic_kmeans_num=m.semantic_kmeans_num,
+        n_spk=cfg.common.n_spk,
+    )
+
+
+class LMTrainer:
+    def __init__(self, cfg: Config, lm_cfg: Optional[RoformerConfig] = None, mesh=None,
+                 codebook: Optional[np.ndarray] = None, dtype=jnp.float32):
+        self.cfg = cfg
+        tcfg = cfg.text2semantic.train
+        self.mesh = mesh if mesh is not None else build_mesh(cfg.parallel)
+        self.lm_cfg = lm_cfg or roformer_config_from(cfg)
+        self.system = RoformerSystem(self.lm_cfg, dtype=dtype, seed=tcfg.seed, codebook=codebook)
+
+        schedule = warmup_step_decay(tcfg.lr, tcfg.start_lr, tcfg.warm_up_steps, tcfg.decay_step, tcfg.gamma)
+        chain = []
+        if tcfg.clip_grad_norm and tcfg.clip_grad_norm > 0:
+            chain.append(optax.clip_by_global_norm(tcfg.clip_grad_norm))
+        chain.append(optax.adamw(schedule, weight_decay=tcfg.weight_decay))
+        self.tx = optax.chain(*chain)
+        if tcfg.gradient_accumulation_steps > 1:
+            self.tx = optax.MultiSteps(self.tx, tcfg.gradient_accumulation_steps)
+        self.opt_state = self.tx.init(self.system.params)
+        self.step = 0
+        self._train_step = self._build_train_step()
+
+    def _build_train_step(self):
+        system = self.system
+        tx = self.tx
+        mesh = self.mesh
+
+        def loss_fn(params, batch):
+            return system.loss(
+                params,
+                batch["phone"],
+                batch["tone"],
+                batch["semantic"],
+                batch["labels"],
+                spk_id=batch.get("spk_id"),
+                encoder_attention_mask=batch.get("encoder_attention_mask"),
+                attention_mask=batch.get("attention_mask"),
+            )
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch):
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+                ),
+                batch,
+            )
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, optax.global_norm(grads)
+
+        return train_step
+
+    def device_put_batch(self, batch: Dict[str, np.ndarray]):
+        from latent_diffusion_speech_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(self.mesh, batch)
+
+    def train_step(self, batch) -> Dict[str, float]:
+        params, opt_state, loss, gnorm = self._train_step(self.system.params, self.opt_state, batch)
+        if not np.isfinite(float(loss)):
+            raise RuntimeError(f"NaN/Inf LM loss at step {self.step}")  # ref train.py:133-134
+        self.system.params = params
+        self.opt_state = opt_state
+        self.step += 1
+        return {"loss": loss, "grad_norm": gnorm}
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _eval_logits(self, params, batch):
+        return self.system.module.apply(
+            {"params": params},
+            batch["phone"], batch["tone"], batch["semantic"], batch.get("spk_id"),
+            batch.get("encoder_attention_mask"), batch.get("attention_mask"),
+        )
+
+    def evaluate(self, batch) -> Dict[str, float]:
+        logits = self._eval_logits(self.system.params, batch)
+        loss = self.system.loss(
+            self.system.params, batch["phone"], batch["tone"], batch["semantic"],
+            batch["labels"], spk_id=batch.get("spk_id"),
+            encoder_attention_mask=batch.get("encoder_attention_mask"),
+            attention_mask=batch.get("attention_mask"),
+        )
+        acc = top_k_accuracy(logits[:, :-1], batch["labels"][:, 1:], k=5)
+        return {"val/loss": float(loss), "val/top5_acc": float(acc)}
+
+    def save(self):
+        tcfg = self.cfg.text2semantic.train
+        save_checkpoint(
+            tcfg.expdir, self.step, self.system.params,
+            self.opt_state if tcfg.save_opt else None, keep=tcfg.last_save_model_num,
+        )
+
+    def resume(self) -> bool:
+        tcfg = self.cfg.text2semantic.train
+        if latest_checkpoint_step(tcfg.expdir) is None:
+            return False
+        step, params, opt_state = load_checkpoint(
+            tcfg.expdir, self.system.params, self.opt_state if tcfg.save_opt else None
+        )
+        self.step = step
+        self.system.params = params
+        if opt_state is not None:
+            self.opt_state = opt_state
+        return True
+
+    def train(self, loader, val_loader=None, max_steps: Optional[int] = None, logger=None):
+        tcfg = self.cfg.text2semantic.train
+        for epoch in range(tcfg.epochs):
+            for batch in loader:
+                metrics = self.train_step(self.device_put_batch(batch))
+                if logger and self.step % tcfg.interval_log == 0:
+                    logger.log(self.step, {"train/loss": float(metrics["loss"])})
+                if self.step % tcfg.interval_val == 0:
+                    if val_loader is not None and logger:
+                        for vb in val_loader:
+                            logger.log(self.step, self.evaluate(self.device_put_batch(vb)))
+                            break
+                    self.save()
+                if max_steps and self.step >= max_steps:
+                    self.save()
+                    return

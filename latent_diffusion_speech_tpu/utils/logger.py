@@ -1,0 +1,62 @@
+"""Metrics/observability: JSONL + optional TensorBoard.
+
+Replaces the reference's Saver (`tools/saver.py:12-159`): scalar logging,
+config snapshot beside checkpoints, rank-0 gating.  JSONL is the primary sink
+(machine-readable, dependency-free); TensorBoard is attached when available.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+
+__all__ = ["MetricsLogger"]
+
+
+class MetricsLogger:
+    def __init__(self, expdir: str | Path, config_snapshot: Optional[dict] = None, use_tensorboard: bool = True):
+        self.is_main = jax.process_index() == 0
+        self.expdir = Path(expdir)
+        self._tb = None
+        if not self.is_main:
+            return
+        (self.expdir / "logs").mkdir(parents=True, exist_ok=True)
+        self._jsonl = open(self.expdir / "logs" / "metrics.jsonl", "a")
+        if config_snapshot is not None:
+            import yaml
+
+            (self.expdir / "config.yaml").write_text(yaml.safe_dump(config_snapshot, sort_keys=False))
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(str(self.expdir / "logs"))
+            except Exception:
+                self._tb = None
+        self._t0 = time.time()
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        if not self.is_main:
+            return
+        rec = {"step": step, "time": round(time.time() - self._t0, 3), **metrics}
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(k, v, step)
+
+    def log_audio(self, step: int, tag: str, audio, sample_rate: int) -> None:
+        if self.is_main and self._tb is not None:
+            import numpy as np
+
+            self._tb.add_audio(tag, np.asarray(audio).reshape(-1, 1), step, sample_rate=sample_rate)
+
+    def close(self) -> None:
+        if self.is_main:
+            self._jsonl.close()
+            if self._tb is not None:
+                self._tb.close()
