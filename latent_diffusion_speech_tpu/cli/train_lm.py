@@ -1,0 +1,57 @@
+"""Stage 21: LM training entry (reference `21_train_lm.py`)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from latent_diffusion_speech_tpu.cli._common import config_parser, load
+from latent_diffusion_speech_tpu.config import config_to_dict
+
+
+def main():
+    p = config_parser("train the text->semantic LM (stage 21)")
+    p.add_argument("--max-steps", type=int, default=None)
+    args = p.parse_args()
+    cfg = load(args)
+
+    from functools import partial
+
+    from latent_diffusion_speech_tpu.data import DataLoader, TextDataset, collate_text_batch
+    from latent_diffusion_speech_tpu.parallel import initialize_distributed, process_count, process_index
+    from latent_diffusion_speech_tpu.quantize import load_codebook
+    from latent_diffusion_speech_tpu.train import LMTrainer
+    from latent_diffusion_speech_tpu.utils import MetricsLogger
+
+    initialize_distributed()
+    tcfg = cfg.text2semantic.train
+
+    codebook = None
+    try:
+        codebook = load_codebook(cfg.text2semantic.model.codebook_path)
+    except (FileNotFoundError, ValueError):
+        pass
+
+    trainer = LMTrainer(cfg, codebook=codebook)
+    resumed = trainer.resume()
+    print(f"{'resumed at step ' + str(trainer.step) if resumed else 'fresh start'}")
+    lm_cfg = trainer.lm_cfg
+
+    def make_loader(path, shuffle):
+        ds = TextDataset(
+            path, semantic_bos=lm_cfg.semantic_bos, semantic_eos=lm_cfg.semantic_eos,
+            n_spk=cfg.common.n_spk, process_index=process_index(), process_count=process_count(),
+            cache=tcfg.cache_all_data,
+        )
+        collate = partial(
+            collate_text_batch, phone_pad=lm_cfg.phone_pad, semantic_pad=lm_cfg.semantic_pad
+        )
+        return DataLoader(ds, tcfg.batch_size, collate=collate, shuffle=shuffle, seed=tcfg.seed)
+
+    loader = make_loader(cfg.data.train_path, True)
+    val_loader = make_loader(cfg.data.valid_path, False)
+    logger = MetricsLogger(tcfg.expdir, config_snapshot=config_to_dict(cfg))
+    trainer.train(loader, val_loader=val_loader, max_steps=args.max_steps, logger=logger)
+
+
+if __name__ == "__main__":
+    main()

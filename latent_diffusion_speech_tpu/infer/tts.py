@@ -1,0 +1,201 @@
+"""End-to-end inference runtime (L8).
+
+Capability parity with the reference `DiffusionSVC` facade
+(`tools/infer_tools.py:9-117`) and the `22_infer_tts.py` serve path:
+
+text -> phones/tones (text frontend) -> AR LM -> semantic tokens ->
+k-means centroid embedding -> conditional latent diffusion -> HiFi-VAEGAN
+decode -> waveform.  Plus the long-audio SVC-style path: RMS slicing, per
+segment units -> diffusion -> stitch with cross-fades
+(`infer_tools.py:84-117`).
+
+The compute chain after the text frontend is fully jitted; the pipeline pads
+token counts to buckets so repeated calls hit the XLA compile cache
+(SURVEY.md "Hard parts": shape polymorphism vs recompiles).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latent_diffusion_speech_tpu.models.diffusion import Unit2MelSystem
+from latent_diffusion_speech_tpu.models.lm.roformer import RoformerSystem
+from latent_diffusion_speech_tpu.models.vocoder import Vocoder
+from latent_diffusion_speech_tpu.ops.slicer import split_voiced
+from latent_diffusion_speech_tpu.ops.alignment import cross_fade
+from latent_diffusion_speech_tpu.ops.volume import extract_volume, get_volume_mask
+from latent_diffusion_speech_tpu.quantize import EuclideanCodebook
+
+__all__ = ["TTSPipeline"]
+
+
+def _bucket(n: int, multiple: int = 64) -> int:
+    return max(multiple, ((n + multiple - 1) // multiple) * multiple)
+
+
+class TTSPipeline:
+    def __init__(
+        self,
+        diffusion: Unit2MelSystem,
+        vocoder: Vocoder,
+        lm: Optional[RoformerSystem] = None,
+        codebook: Optional[np.ndarray] = None,
+        units_encoder=None,
+    ):
+        self.diffusion = diffusion
+        self.vocoder = vocoder
+        self.lm = lm
+        self.codebook = EuclideanCodebook(codebook) if codebook is not None else None
+        self.units_encoder = units_encoder
+
+    # -- text -> semantic ----------------------------------------------------
+
+    def text_to_phones(self, text: str, language: str = "ZH") -> Tuple[np.ndarray, np.ndarray]:
+        from latent_diffusion_speech_tpu.text import text_to_sequence
+
+        (phones, tones, _lang), _ = text_to_sequence(text, language)
+        return np.asarray(phones, np.int32), np.asarray(tones, np.int32)
+
+    def generate_semantic(
+        self,
+        phones: np.ndarray,
+        tones: np.ndarray,
+        spk_id: int = 1,
+        max_length: int = 1024,
+        top_k: int = 5,
+        end_gate_threshold: Optional[float] = None,
+        rng: Optional[jax.Array] = None,
+    ) -> np.ndarray:
+        """Run the LM; returns semantic token ids (L,) with BOS/EOS stripped
+        (`22_infer_tts.py:83-103` behavior)."""
+        assert self.lm is not None, "pipeline built without a language model"
+        phones = jnp.asarray(phones)[None]
+        tones = jnp.asarray(tones)[None]
+        spk = jnp.full(phones.shape, spk_id, jnp.int32)
+        tokens, lengths = self.lm.generate(
+            phones, tones, spk_id=spk, max_length=max_length, top_k=top_k,
+            end_gate_threshold=end_gate_threshold, rng=rng,
+        )
+        n = int(lengths[0])
+        toks = np.asarray(tokens[0, :n])
+        # strip EOS if present, and any stray BOS/PAD
+        toks = toks[toks < self.lm.cfg.semantic_kmeans_num]
+        return toks.astype(np.int32)
+
+    def semantic_to_units(self, tokens: np.ndarray) -> jnp.ndarray:
+        """Token ids -> unit embeddings via k-means centroids
+        (`22_infer_tts.py:46-52,105-106`)."""
+        assert self.codebook is not None, "pipeline built without a semantic codebook"
+        return self.codebook.dequantize(jnp.asarray(tokens))[None]  # (1, L, D)
+
+    # -- units -> audio ------------------------------------------------------
+
+    def infer(
+        self,
+        units: jnp.ndarray,
+        spk_id: int = 1,
+        method: str = "dpm-solver",
+        infer_speedup: int = 50,
+        rng: Optional[jax.Array] = None,
+        pad_to_bucket: bool = True,
+    ) -> jnp.ndarray:
+        """units (1, T, D) -> waveform (1, T*hop). Jitted end-to-end."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        T = units.shape[1]
+        padded_T = _bucket(T) if pad_to_bucket else T
+        if padded_T != T:
+            units = jnp.pad(units, ((0, 0), (0, padded_T - T), (0, 0)), mode="edge")
+        spk = jnp.full((units.shape[0], 1), spk_id, jnp.int32)
+        mel = self.diffusion.infer(
+            units, rng, spk_id=spk, method=method, infer_speedup=infer_speedup
+        )
+        mel = mel[:, :T]
+        return self.mel2wav(mel)
+
+    def mel2wav(self, mel: jnp.ndarray) -> jnp.ndarray:
+        return self.vocoder.infer(mel)
+
+    # -- full TTS ------------------------------------------------------------
+
+    def tts(
+        self,
+        text: str,
+        language: str = "ZH",
+        spk_id: int = 1,
+        method: str = "dpm-solver",
+        infer_speedup: int = 50,
+        max_length: int = 1024,
+        top_k: int = 5,
+        end_gate_threshold: Optional[float] = None,
+        seed: int = 0,
+    ) -> Tuple[np.ndarray, int]:
+        """Text -> (waveform (T,), sample_rate). The `22_infer_tts.py` path."""
+        phones, tones = self.text_to_phones(text, language)
+        return self.tts_from_phones(
+            phones, tones, spk_id=spk_id, method=method, infer_speedup=infer_speedup,
+            max_length=max_length, top_k=top_k, end_gate_threshold=end_gate_threshold,
+            seed=seed,
+        )
+
+    def tts_from_phones(
+        self, phones, tones, spk_id=1, method="dpm-solver", infer_speedup=50,
+        max_length=1024, top_k=5, end_gate_threshold=None, seed=0,
+    ) -> Tuple[np.ndarray, int]:
+        rng = jax.random.PRNGKey(seed)
+        r1, r2 = jax.random.split(rng)
+        tokens = self.generate_semantic(
+            phones, tones, spk_id=spk_id, max_length=max_length, top_k=top_k,
+            end_gate_threshold=end_gate_threshold, rng=r1,
+        )
+        if len(tokens) == 0:
+            return np.zeros(0, np.float32), self.vocoder.vocoder_sample_rate
+        units = self.semantic_to_units(tokens)
+        wav = self.infer(units, spk_id=spk_id, method=method, infer_speedup=infer_speedup, rng=r2)
+        return np.asarray(wav[0]), self.vocoder.vocoder_sample_rate
+
+    # -- long audio (SVC-style) ----------------------------------------------
+
+    def infer_from_long_audio(
+        self,
+        audio: np.ndarray,
+        sample_rate: int,
+        spk_id: int = 1,
+        method: str = "dpm-solver",
+        infer_speedup: int = 50,
+        threshold_db: float = -40.0,
+        seed: int = 0,
+    ) -> Tuple[np.ndarray, int]:
+        """Slice long audio at silences, synthesize voiced segments, stitch
+        (`infer_tools.py:84-117`)."""
+        assert self.units_encoder is not None, "long-audio path needs a units encoder"
+        hop = self.vocoder.vocoder_hop_size
+        out_sr = self.vocoder.vocoder_sample_rate
+        segments = split_voiced(audio, sample_rate, hop, threshold_db=threshold_db)
+        rng = jax.random.PRNGKey(seed)
+
+        result = np.zeros(0, np.float32)
+        current_length = 0
+        for start_frame, seg in segments:
+            rng, sub = jax.random.split(rng)
+            units = self.units_encoder.encode(jnp.asarray(seg), sample_rate)
+            if units.ndim == 2:
+                units = units[None]
+            # re-time to the latent grid of this segment
+            from latent_diffusion_speech_tpu.ops.alignment import units_forced_alignment
+
+            n_frames = len(seg) * out_sr // sample_rate // hop
+            units = units_forced_alignment(units, n_frames=max(n_frames, 1))
+            wav = np.asarray(self.infer(units, spk_id=spk_id, method=method,
+                                        infer_speedup=infer_speedup, rng=sub)[0])
+            silent_length = round(start_frame * hop * out_sr / sample_rate) - current_length
+            if silent_length >= 0:
+                result = np.append(result, np.zeros(silent_length, np.float32))
+                result = np.append(result, wav)
+            else:
+                result = cross_fade(result, wav, current_length + silent_length)
+            current_length = current_length + silent_length + len(wav)
+        return result, out_sr

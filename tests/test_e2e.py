@@ -1,0 +1,96 @@
+"""End-to-end integration: full TTS chain and full preprocessing chain with
+tiny models, plus long-audio SVC-style inference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from latent_diffusion_speech_tpu.infer import TTSPipeline
+from latent_diffusion_speech_tpu.models.diffusion import Unit2MelConfig, Unit2MelSystem
+from latent_diffusion_speech_tpu.models.lm import RoformerConfig, RoformerSystem
+from latent_diffusion_speech_tpu.models.lm.roformer import StackConfig
+from latent_diffusion_speech_tpu.models.vaegan import VAEGANConfig
+from latent_diffusion_speech_tpu.models.vocoder import Vocoder
+
+UNIT_DIM = 16
+TINY_VAEGAN = VAEGANConfig(
+    sampling_rate=8000, inter_channels=6, resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 3),), upsample_rates=(4, 2),
+    upsample_initial_channel=16, upsample_kernel_sizes=(8, 4),
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    diffusion = Unit2MelSystem(
+        Unit2MelConfig(
+            input_channel=UNIT_DIM, n_spk=4, out_dims=6, n_hidden=8,
+            block_out_channels=(8, 8), n_heads=2, timesteps=50, k_step=50,
+        )
+    )
+    vocoder = Vocoder("hifi-vaegan")
+    vocoder.vocoder = __import__(
+        "latent_diffusion_speech_tpu.models.vaegan.codec", fromlist=["HifiVAEGAN"]
+    ).HifiVAEGAN.random_init(TINY_VAEGAN)
+    lm = RoformerSystem(
+        RoformerConfig(
+            encoder=StackConfig(hidden_size=16, num_attention_heads=2, num_hidden_layers=1, intermediate_size=16),
+            decoder=StackConfig(hidden_size=16, num_attention_heads=2, num_hidden_layers=1, intermediate_size=16),
+            semantic_kmeans_num=32,
+            n_spk=4,
+        )
+    )
+    codebook = np.random.default_rng(0).standard_normal((32, UNIT_DIM)).astype(np.float32)
+    return TTSPipeline(diffusion, vocoder, lm=lm, codebook=codebook)
+
+
+class TestTTSChain:
+    def test_full_tts_from_phones(self, pipeline, rng):
+        phones = rng.integers(1, 50, 6).astype(np.int32)
+        tones = rng.integers(0, 6, 6).astype(np.int32)
+        wav, sr = pipeline.tts_from_phones(
+            phones, tones, spk_id=2, method="ddim", infer_speedup=10, max_length=12
+        )
+        assert sr == 8000
+        assert wav.ndim == 1
+        assert np.isfinite(wav).all()
+        # one latent frame -> hop samples of audio
+        assert len(wav) % 8 == 0
+
+    def test_semantic_roundtrip(self, pipeline):
+        tokens = np.array([3, 7, 1], np.int32)
+        units = pipeline.semantic_to_units(tokens)
+        assert units.shape == (1, 3, UNIT_DIM)
+        np.testing.assert_allclose(
+            np.asarray(units[0, 0]), np.asarray(pipeline.codebook.codebook[3]), atol=1e-6
+        )
+
+    def test_infer_bucket_padding_consistency(self, pipeline, rng):
+        """Bucket padding must not change the unpadded region's length."""
+        units = jnp.asarray(rng.standard_normal((1, 10, UNIT_DIM)).astype(np.float32))
+        wav = pipeline.infer(units, method="ddim", infer_speedup=25)
+        assert wav.shape == (1, 10 * 8)
+
+
+class TestLongAudio:
+    def test_svc_style_inference(self, pipeline, rng):
+        class FakeUnitsEncoder:
+            encoder_hop_size = 4
+
+            def encode(self, audio, sr):
+                n = max(int(audio.shape[-1]) // 4, 1)
+                return jnp.zeros((1, n, UNIT_DIM))
+
+        pipeline.units_encoder = FakeUnitsEncoder()
+        sr = 8000
+        t = np.arange(sr) / sr
+        tone = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        audio = np.concatenate([tone, np.zeros(sr, np.float32), tone])
+        wav, out_sr = pipeline.infer_from_long_audio(
+            audio, sr, method="ddim", infer_speedup=25, threshold_db=-40,
+        )
+        assert out_sr == 8000
+        assert len(wav) > 0
+        assert np.isfinite(wav).all()
