@@ -124,3 +124,90 @@ class DiffusionDataset:
     def batch(self, indices) -> Dict[str, np.ndarray]:
         items = [self[i] for i in indices]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    # -- native fast path ----------------------------------------------------
+
+    def _probe_all(self, reader):
+        """Probe (mel_rows, unit_rows, dims) per path once; drop unusable files."""
+        self._probed = {}
+        usable = []
+        for p in self.paths:
+            try:
+                mel_rows, mel_row_bytes, _ = reader.probe(str(self.root / "mel" / p) + ".npy")
+                unit_rows, unit_row_bytes, _ = reader.probe(str(self.root / "units" / p) + ".npy")
+            except OSError:
+                continue
+            if mel_rows < self.frame_len + 2:
+                continue
+            self._probed[p] = (mel_rows, mel_row_bytes // 8, unit_rows, unit_row_bytes // 4)
+            usable.append(p)
+        self._fast_paths = usable
+
+    def fast_batch(self, indices, reader=None) -> Dict[str, np.ndarray]:
+        """Batched native read: parallel cropped mel/unit reads (C++ thread
+        pool), vectorized latent sampling + nearest alignment in numpy.
+        Semantically equivalent to `batch()` (modulo RNG draws)."""
+        if reader is None:
+            from latent_diffusion_speech_tpu.data.native_loader import NativeNpyReader
+
+            if not hasattr(self, "_shared_reader"):
+                self._shared_reader = NativeNpyReader()
+            reader = self._shared_reader
+        if not hasattr(self, "_probed"):
+            self._probe_all(reader)
+        if not self._fast_paths:
+            return self.batch(indices)
+
+        F = self.frame_len
+        names = [self._fast_paths[i % len(self._fast_paths)] for i in indices]
+        mel_dim = self._probed[names[0]][1]  # latent C (probe stores bytes//8 = C)
+        unit_dim = self._probed[names[0]][3]
+
+        # choose crops; units read window sized by the worst-case ratio
+        mel_paths, unit_paths, mel_starts, unit_starts = [], [], [], []
+        ratios, starts = [], []
+        count_u = 0
+        metas = []
+        for name in names:
+            mel_rows, _, unit_rows, _ = self._probed[name]
+            s = int(self.rng.integers(0, max(mel_rows - F, 1)))
+            ratio = unit_rows / mel_rows
+            metas.append((name, s, mel_rows, unit_rows, ratio))
+            count_u = max(count_u, int(np.ceil((F + 1) * ratio)) + 1)
+        for name, s, mel_rows, unit_rows, ratio in metas:
+            u_start = int(np.floor(s * ratio))
+            u_start = min(u_start, max(unit_rows - count_u, 0))
+            mel_paths.append(str(self.root / "mel" / name) + ".npy")
+            unit_paths.append(str(self.root / "units" / name) + ".npy")
+            mel_starts.append(s)
+            unit_starts.append(u_start)
+
+        stats = reader.read_batch(mel_paths, mel_starts, F, (2 * mel_dim,))
+        units_raw = reader.read_batch(unit_paths, unit_starts, count_u, (unit_dim,))
+
+        m, logs = stats[..., :mel_dim], stats[..., mel_dim:]
+        if self.only_mean:
+            mel = m
+        else:
+            mel = m + self.rng.standard_normal(m.shape).astype(np.float32) * np.exp(logs)
+        if self.clamp and self.clamp > 0:
+            mel = np.clip(mel, -self.clamp, self.clamp)
+
+        # nearest alignment on the mel grid: global unit idx = floor(t * Tu / Tm)
+        units = np.empty((len(names), F, unit_dim), np.float32)
+        for b, (name, s, mel_rows, unit_rows, ratio) in enumerate(metas):
+            t = np.arange(s, s + F)
+            g = np.floor(t * (unit_rows / mel_rows)).astype(np.int64)
+            local = np.clip(g - unit_starts[b], 0, count_u - 1)
+            units[b] = units_raw[b, local]
+
+        spk_ids = np.array(
+            [[self.spk_map.get(str(Path(n).parent), 1) if self.spk_map else 1] for n in names],
+            np.int32,
+        )
+        return {
+            "mel": mel,
+            "units": units,
+            "spk_id": spk_ids,
+            "aug_shift": np.zeros((len(names), 1), np.float32),
+        }

@@ -77,8 +77,8 @@ def rotary_half(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.nda
     D = x.shape[-1]
     inv_freq = 1.0 / (theta ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D))
     angles = positions.astype(jnp.float32)[..., None] * inv_freq  # (T, D/2)
-    cos = jnp.concatenate([jnp.cos(angles), jnp.cos(angles)], axis=-1)[None, :, None, :]
-    sin = jnp.concatenate([jnp.sin(angles), jnp.sin(angles)], axis=-1)[None, :, None, :]
+    cos = jnp.concatenate([jnp.cos(angles), jnp.cos(angles)], axis=-1)[None, :, None, :].astype(x.dtype)
+    sin = jnp.concatenate([jnp.sin(angles), jnp.sin(angles)], axis=-1)[None, :, None, :].astype(x.dtype)
     x1, x2 = x[..., : D // 2], x[..., D // 2 :]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
     return x * cos + rotated * sin

@@ -115,6 +115,8 @@ def apply_rotary_pairs(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray) -> jn
     else:
         sin = sin[:, :, None, :]
         cos = cos[:, :, None, :]
+    sin = sin.astype(x.dtype)
+    cos = cos.astype(x.dtype)
     x1 = x[..., 0::2]
     x2 = x[..., 1::2]
     rot = jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
