@@ -51,6 +51,10 @@ class TTSPipeline:
         self.lm = lm
         self.codebook = EuclideanCodebook(codebook) if codebook is not None else None
         self.units_encoder = units_encoder
+        # one compiled program per (T_bucket, method, speedup): condition ->
+        # diffusion scan -> vocoder decode, fused end-to-end (eager dispatch
+        # over a tunneled TPU is catastrophic for the sampler's ~2k ops)
+        self._infer_cache = {}
 
     # -- text -> semantic ----------------------------------------------------
 
@@ -103,18 +107,33 @@ class TTSPipeline:
         rng: Optional[jax.Array] = None,
         pad_to_bucket: bool = True,
     ) -> jnp.ndarray:
-        """units (1, T, D) -> waveform (1, T*hop). Jitted end-to-end."""
+        """units (1, T, D) -> waveform (1, T*hop). One XLA program end-to-end."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         T = units.shape[1]
         padded_T = _bucket(T) if pad_to_bucket else T
         if padded_T != T:
             units = jnp.pad(units, ((0, 0), (0, padded_T - T), (0, 0)), mode="edge")
+
+        key = (padded_T, T, units.shape[0], method, infer_speedup)
+        if key not in self._infer_cache:
+            diffusion, vocoder = self.diffusion, self.vocoder
+
+            def fused(units, spk, rng):
+                cond = diffusion.module.apply(
+                    {"params": diffusion.params}, units, None, spk, None,
+                    method=diffusion.module.condition,
+                )
+                mel = diffusion.diffusion.sample(
+                    cond, rng, method=method, infer_speedup=infer_speedup
+                )
+                return vocoder.vocoder.generator.apply(
+                    {"params": vocoder.vocoder.generator_params}, mel[:, :T]
+                )
+
+            self._infer_cache[key] = jax.jit(fused)
+
         spk = jnp.full((units.shape[0], 1), spk_id, jnp.int32)
-        mel = self.diffusion.infer(
-            units, rng, spk_id=spk, method=method, infer_speedup=infer_speedup
-        )
-        mel = mel[:, :T]
-        return self.mel2wav(mel)
+        return self._infer_cache[key](units, spk, rng)
 
     def mel2wav(self, mel: jnp.ndarray) -> jnp.ndarray:
         return self.vocoder.infer(mel)

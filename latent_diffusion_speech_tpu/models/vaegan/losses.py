@@ -77,7 +77,9 @@ def sss_loss(x_true: jnp.ndarray, x_pred: jnp.ndarray, n_fft: int, alpha: float 
 
     def mag(x):
         s = stft(x, n_fft, n_fft, window=window, center=False)
-        return jnp.abs(s) / norm + eps
+        # smoothed magnitude: |.| has a NaN gradient at exactly 0 (silence)
+        m = jnp.sqrt(s.real**2 + s.imag**2 + 1e-12)
+        return m / norm + eps
 
     st, sp = mag(x_true), mag(x_pred)
     converge = jnp.mean(
@@ -95,8 +97,12 @@ def rss_loss(
     alpha: float = 1.0,
 ) -> jnp.ndarray:
     """Multi-scale spectral loss (static-shape stand-in for the reference's
-    random-scale RSSLoss, losses.py:75-93)."""
+    random-scale RSSLoss, losses.py:75-93). Scales longer than the signal are
+    skipped (they would produce zero frames)."""
+    usable = [s for s in scales if s <= x_true.shape[-1]]
+    if not usable:
+        raise ValueError(f"no usable FFT scale for signal length {x_true.shape[-1]}")
     total = 0.0
-    for n_fft in scales:
+    for n_fft in usable:
         total = total + sss_loss(x_true, x_pred, n_fft, alpha=alpha)
-    return total / len(scales)
+    return total / len(usable)
