@@ -67,6 +67,28 @@ class WhisperLargeV3Units:
         return self._apply(self.params, mel)
 
 
+class HubertSoftUnits:
+    """HuBERT-soft unit extractor (reference alternative encoder,
+    `encoder/hubert/model.py:72-80`): 16 kHz audio -> 50 fps 256-d units."""
+
+    def __init__(self, ckpt_path: Optional[str] = None, dtype=jnp.bfloat16, seed: int = 0):
+        from latent_diffusion_speech_tpu.models.hubert import HubertSoft
+
+        self.model = HubertSoft(dtype=dtype)
+        if ckpt_path and Path(ckpt_path).exists():
+            raise NotImplementedError("hubert torch checkpoint import: planned")
+        probe = jnp.zeros((1, 960))
+        self.params = self.model.init(jax.random.PRNGKey(seed), probe)["params"]
+        self._units = jax.jit(
+            lambda p, wav: self.model.apply({"params": p}, wav, method=self.model.units)
+        )
+
+    def __call__(self, audio16k: jnp.ndarray) -> jnp.ndarray:
+        if audio16k.ndim == 1:
+            audio16k = audio16k[None]
+        return self._units(self.params, audio16k)
+
+
 class UnitsEncoder:
     def __init__(
         self,
@@ -80,10 +102,12 @@ class UnitsEncoder:
         self.encoder = encoder
         if encoder == "whisper_large_v3":
             self.model = WhisperLargeV3Units(ckpt_path=ckpt_path, **kw)
+        elif encoder == "hubert_soft":
+            self.model = HubertSoftUnits(ckpt_path=ckpt_path, **kw)
         elif encoder in ("w2v-bert", "xlsr_53_56k"):
             raise NotImplementedError(
                 f"units encoder '{encoder}' requires external pretrained weights; "
-                "use whisper_large_v3 or plug a custom callable into UnitsEncoder.model"
+                "use whisper_large_v3 / hubert_soft, or plug a custom callable into UnitsEncoder.model"
             )
         else:
             raise ValueError(f"[x] Unknown units encoder: {encoder}")
