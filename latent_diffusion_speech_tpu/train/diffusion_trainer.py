@@ -149,6 +149,35 @@ class DiffusionTrainer:
             units, rng, spk_id=batch["spk_id"], method=method, infer_speedup=speedup
         )
 
+    def validate_full(self, val_loader, rng, logger=None, vocoder=None, max_batches: int = 2):
+        """Validation pass mirroring the reference `test()` (solver.py:9-85):
+        val loss, full sampler run, optional vocoder decode + audio logging."""
+        tcfg = self.cfg.diffusion.train
+        losses = []
+        for bi, batch in enumerate(val_loader):
+            if bi >= max_batches:
+                break
+            batch = self.device_put_batch(batch)
+            rng, r1, r2 = jax.random.split(rng, 3)
+            units = batch["units"]
+            if self.quantizer is not None:
+                units = self.quantizer(units)
+            loss = self.system.loss(
+                self.system.params, units, batch["mel"], r1, spk_id=batch["spk_id"]
+            )
+            losses.append(float(loss))
+            if bi == 0:
+                mel = self.validate(batch, r2)
+                if logger is not None:
+                    logger.log(self.step, {"val/mel_abs_err": float(jnp.mean(jnp.abs(mel - batch["mel"])))})
+                if vocoder is not None and logger is not None:
+                    wav = vocoder.infer(mel[:1])
+                    logger.log_audio(self.step, "val/audio", np.asarray(wav[0]), vocoder.vocoder_sample_rate)
+        metrics = {"val/loss": float(np.mean(losses))} if losses else {}
+        if logger is not None and metrics:
+            logger.log(self.step, metrics)
+        return metrics
+
     def save(self):
         tcfg = self.cfg.diffusion.train
         save_checkpoint(
