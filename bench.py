@@ -15,6 +15,12 @@ import json
 import time
 
 import jax
+
+# persistent compilation cache: the serve program is large; cache compiles
+# across bench invocations (driver runs this repeatedly)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 import numpy as np
 
