@@ -114,26 +114,35 @@ class TTSPipeline:
         if padded_T != T:
             units = jnp.pad(units, ((0, 0), (0, padded_T - T), (0, 0)), mode="edge")
 
-        key = (padded_T, T, units.shape[0], method, infer_speedup)
+        # two cached programs: (condition + full sampling scan) and (vocoder
+        # decode).  One giant fused program is kinder to runtime overhead but
+        # can exceed remote-compiler limits; two keeps each compile bounded
+        # while still eliminating eager per-op dispatch.
+        key = (padded_T, units.shape[0], method, infer_speedup)
         if key not in self._infer_cache:
             diffusion, vocoder = self.diffusion, self.vocoder
 
-            def fused(units, spk, rng):
+            def sample_fn(units, spk, rng):
                 cond = diffusion.module.apply(
                     {"params": diffusion.params}, units, None, spk, None,
                     method=diffusion.module.condition,
                 )
-                mel = diffusion.diffusion.sample(
+                return diffusion.diffusion.sample(
                     cond, rng, method=method, infer_speedup=infer_speedup
                 )
+
+            def decode_fn(mel):
                 return vocoder.vocoder.generator.apply(
-                    {"params": vocoder.vocoder.generator_params}, mel[:, :T]
+                    {"params": vocoder.vocoder.generator_params}, mel
                 )
 
-            self._infer_cache[key] = jax.jit(fused)
+            self._infer_cache[key] = (jax.jit(sample_fn), jax.jit(decode_fn))
 
+        sample_fn, decode_fn = self._infer_cache[key]
         spk = jnp.full((units.shape[0], 1), spk_id, jnp.int32)
-        return self._infer_cache[key](units, spk, rng)
+        mel = sample_fn(units, spk, rng)
+        wav = decode_fn(mel)  # decode at bucket length: one compile per bucket
+        return wav[:, : T * self.vocoder.vocoder_hop_size]
 
     def mel2wav(self, mel: jnp.ndarray) -> jnp.ndarray:
         return self.vocoder.infer(mel)

@@ -182,7 +182,8 @@ class Attention(nn.Module):
 
 
 class Layer(nn.Module):
-    """Post-LN transformer layer (HF Bert/RoFormer style)."""
+    """Post-LN transformer layer (HF Bert/RoFormer style) with the reference's
+    hidden-dropout placement (after the attention/FF output projections)."""
 
     cfg: StackConfig
     cross_attention: bool = False
@@ -199,24 +200,26 @@ class Layer(nn.Module):
         positions=None,
         cache=None,
         cache_index=None,
+        deterministic=True,
     ):
         eps = self.cfg.layer_norm_eps
+        drop = nn.Dropout(self.cfg.hidden_dropout_prob, deterministic=deterministic)
         h, new_cache = Attention(self.cfg, dtype=self.dtype, name="self_attn")(
             x, mask=self_mask, is_causal=is_causal, positions=positions,
             cache=cache, cache_index=cache_index,
         )
-        x = nn.LayerNorm(epsilon=eps, name="self_ln")(x + h)
+        x = nn.LayerNorm(epsilon=eps, name="self_ln")(x + drop(h))
 
         if self.cross_attention and enc_states is not None:
             h, _ = Attention(self.cfg, use_rotary=False, dtype=self.dtype, name="cross_attn")(
                 x, kv_source=enc_states, mask=cross_mask
             )
-            x = nn.LayerNorm(epsilon=eps, name="cross_ln")(x + h)
+            x = nn.LayerNorm(epsilon=eps, name="cross_ln")(x + drop(h))
 
         h = nn.Dense(self.cfg.intermediate_size, dtype=self.dtype, name="ff_in")(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="ff_out")(h)
-        x = nn.LayerNorm(epsilon=eps, name="ff_ln")(x + h)
+        x = nn.LayerNorm(epsilon=eps, name="ff_ln")(x + drop(h))
         return x, new_cache
 
 
@@ -230,6 +233,7 @@ class Roformer(nn.Module):
         self.phone_embed = nn.Embed(cfg.phone_vocab_size, ecfg.hidden_size, name="phone_embed")
         self.tone_embed = nn.Embed(cfg.num_token_types, ecfg.hidden_size, name="tone_embed")
         self.enc_emb_ln = nn.LayerNorm(epsilon=ecfg.layer_norm_eps, name="enc_emb_ln")
+        self.enc_dropout = nn.Dropout(ecfg.hidden_dropout_prob)
         self.encoder_layers = [
             Layer(ecfg, dtype=self.dtype, name=f"enc_{i}") for i in range(ecfg.num_hidden_layers)
         ]
@@ -239,6 +243,7 @@ class Roformer(nn.Module):
         self.semantic_embed = nn.Embed(cfg.semantic_vocab_size, dcfg.hidden_size, name="semantic_embed")
         self.dec_type_embed = nn.Embed(1, dcfg.hidden_size, name="dec_type_embed")
         self.dec_emb_ln = nn.LayerNorm(epsilon=dcfg.layer_norm_eps, name="dec_emb_ln")
+        self.dec_dropout = nn.Dropout(dcfg.hidden_dropout_prob)
         self.decoder_layers = [
             Layer(dcfg, cross_attention=True, dtype=self.dtype, name=f"dec_{i}")
             for i in range(dcfg.num_hidden_layers)
@@ -250,17 +255,18 @@ class Roformer(nn.Module):
 
     # -- encoder -------------------------------------------------------------
 
-    def encode(self, phone, tone, spk_id=None, attention_mask=None):
+    def encode(self, phone, tone, spk_id=None, attention_mask=None, deterministic=True):
         """phone/tone (B, L) -> encoder states (B, L, C)."""
         x = self.phone_embed(phone) + self.tone_embed(tone)
         x = self.enc_emb_ln(x)
         if self.cfg.n_spk and self.cfg.n_spk > 1 and spk_id is not None:
             x = x + self.spk_embed(spk_id)
+        x = self.enc_dropout(x, deterministic=deterministic)
         mask = None
         if attention_mask is not None:
             mask = attention_mask[:, None, None, :].astype(bool)
         for layer in self.encoder_layers:
-            x, _ = layer(x, self_mask=mask)
+            x, _ = layer(x, self_mask=mask, deterministic=deterministic)
         return x
 
     # -- decoder (teacher-forced) -------------------------------------------
@@ -272,19 +278,23 @@ class Roformer(nn.Module):
         logits = h @ self.semantic_embed.embedding.T.astype(h.dtype) + self.head_bias
         return logits
 
-    def decode_train(self, semantic, enc_states, self_mask=None, cross_mask=None):
+    def decode_train(self, semantic, enc_states, self_mask=None, cross_mask=None, deterministic=True):
         """semantic (B, S) ids -> logits (B, S, V). Causal."""
         x = self.semantic_embed(semantic) + self.dec_type_embed(jnp.zeros_like(semantic))
         x = self.dec_emb_ln(x)
+        x = self.dec_dropout(x, deterministic=deterministic)
         sm = self_mask[:, None, None, :].astype(bool) if self_mask is not None else None
         cm = cross_mask[:, None, None, :].astype(bool) if cross_mask is not None else None
         for layer in self.decoder_layers:
-            x, _ = layer(x, enc_states=enc_states, self_mask=sm, cross_mask=cm, is_causal=True)
+            x, _ = layer(x, enc_states=enc_states, self_mask=sm, cross_mask=cm, is_causal=True,
+                         deterministic=deterministic)
         return self._lm_head(x)
 
-    def __call__(self, phone, tone, semantic, spk_id=None, encoder_attention_mask=None, attention_mask=None):
-        enc = self.encode(phone, tone, spk_id, encoder_attention_mask)
-        return self.decode_train(semantic, enc, self_mask=attention_mask, cross_mask=encoder_attention_mask)
+    def __call__(self, phone, tone, semantic, spk_id=None, encoder_attention_mask=None,
+                 attention_mask=None, deterministic=True):
+        enc = self.encode(phone, tone, spk_id, encoder_attention_mask, deterministic=deterministic)
+        return self.decode_train(semantic, enc, self_mask=attention_mask,
+                                 cross_mask=encoder_attention_mask, deterministic=deterministic)
 
     # -- decoder (incremental) ----------------------------------------------
 
@@ -336,11 +346,14 @@ class RoformerSystem:
         self.params = params
 
     def loss(self, params, phone, tone, semantic_in, labels, spk_id=None,
-             encoder_attention_mask=None, attention_mask=None):
+             encoder_attention_mask=None, attention_mask=None, dropout_rng=None):
         """Causal CE with -100 ignore (HF convention: logits[:-1] vs labels[1:])."""
+        rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
         logits = self.module.apply(
             {"params": params}, phone, tone, semantic_in, spk_id,
             encoder_attention_mask, attention_mask,
+            deterministic=dropout_rng is None,
+            rngs=rngs,
         )
         logits = logits[:, :-1]
         targets = labels[:, 1:]

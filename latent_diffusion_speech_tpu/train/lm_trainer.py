@@ -90,7 +90,7 @@ class LMTrainer:
         tx = self.tx
         mesh = self.mesh
 
-        def loss_fn(params, batch):
+        def loss_fn(params, batch, dropout_rng):
             return system.loss(
                 params,
                 batch["phone"],
@@ -100,17 +100,18 @@ class LMTrainer:
                 spk_id=batch.get("spk_id"),
                 encoder_attention_mask=batch.get("encoder_attention_mask"),
                 attention_mask=batch.get("attention_mask"),
+                dropout_rng=dropout_rng,
             )
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, batch):
+        def train_step(params, opt_state, batch, dropout_rng):
             batch = jax.tree_util.tree_map(
                 lambda x: jax.lax.with_sharding_constraint(
                     x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
                 ),
                 batch,
             )
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, dropout_rng)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, optax.global_norm(grads)
@@ -123,7 +124,10 @@ class LMTrainer:
         return shard_batch(self.mesh, batch)
 
     def train_step(self, batch) -> Dict[str, float]:
-        params, opt_state, loss, gnorm = self._train_step(self.system.params, self.opt_state, batch)
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.text2semantic.train.seed), self.step)
+        params, opt_state, loss, gnorm = self._train_step(
+            self.system.params, self.opt_state, batch, dropout_rng
+        )
         if not np.isfinite(float(loss)):
             raise RuntimeError(f"NaN/Inf LM loss at step {self.step}")  # ref train.py:133-134
         self.system.params = params

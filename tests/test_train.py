@@ -67,8 +67,11 @@ TINY_MODEL = Unit2MelConfig(
 )
 
 TINY_LM = RoformerConfig(
-    encoder=StackConfig(hidden_size=16, num_attention_heads=2, num_hidden_layers=1, intermediate_size=16),
-    decoder=StackConfig(hidden_size=16, num_attention_heads=2, num_hidden_layers=1, intermediate_size=16),
+    # dropout 0 so the fixed-batch objective is deterministic for the descent check
+    encoder=StackConfig(hidden_size=16, num_attention_heads=2, num_hidden_layers=1,
+                        intermediate_size=16, hidden_dropout_prob=0.0),
+    decoder=StackConfig(hidden_size=16, num_attention_heads=2, num_hidden_layers=1,
+                        intermediate_size=16, hidden_dropout_prob=0.0),
     semantic_kmeans_num=64,
     n_spk=4,
 )
