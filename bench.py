@@ -80,6 +80,24 @@ def main():
     best = min(times)
     rtf = best / audio_seconds
 
+    # stage breakdown (separate timed runs, best-of-2 each)
+    def time_stage(fn, n=2):
+        fn()  # warm
+        vals = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            vals.append(time.perf_counter() - t0)
+        return min(vals)
+
+    t_lm = time_stage(lambda: pipe.lm.generate(
+        phones, tones, spk_id=spk, max_length=N_TOKENS, rng=jax.random.PRNGKey(9)
+    )[0].block_until_ready())
+    t_diff_voc = time_stage(lambda: pipe.infer(
+        units, method="dpm-solver", infer_speedup=1000 // DIFFUSION_STEPS,
+        rng=jax.random.PRNGKey(9),
+    ).block_until_ready())
+
     print(
         json.dumps(
             {
@@ -91,6 +109,8 @@ def main():
                     "audio_seconds": round(audio_seconds, 3),
                     "best_wall_s": round(best, 3),
                     "all_wall_s": [round(t, 3) for t in times],
+                    "lm_decode_s": round(t_lm, 3),
+                    "diffusion_plus_vocoder_s": round(t_diff_voc, 3),
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -55,6 +55,32 @@ class MetricsLogger:
 
             self._tb.add_audio(tag, np.asarray(audio).reshape(-1, 1), step, sample_rate=sample_rate)
 
+    def log_spec_comparison(self, step: int, tag: str, pred, gt) -> None:
+        """Spectrogram triptych |pred-gt| / gt / pred (reference
+        `tools/saver.py:57-65` figure logging)."""
+        if not (self.is_main and self._tb is not None):
+            return
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            import numpy as np
+
+            pred = np.asarray(pred).T
+            gt = np.asarray(gt).T
+            fig, axes = plt.subplots(3, 1, figsize=(10, 8))
+            for ax, (data, title) in zip(
+                axes, [(np.abs(pred - gt), "|pred - gt|"), (gt, "gt"), (pred, "pred")]
+            ):
+                ax.imshow(data, origin="lower", aspect="auto", cmap="magma")
+                ax.set_title(title)
+            fig.tight_layout()
+            self._tb.add_figure(tag, fig, step)
+            plt.close(fig)
+        except Exception:
+            pass
+
     def close(self) -> None:
         if self.is_main:
             self._jsonl.close()
