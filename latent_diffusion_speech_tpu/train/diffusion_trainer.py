@@ -62,6 +62,16 @@ class DiffusionTrainer:
         self.system = Unit2MelSystem(self.model_cfg, dtype=dtype, remat=True, seed=tcfg.seed)
         self.quantizer = quantizer
 
+        # tensor parallelism: when the mesh has a model axis > 1, lay the big
+        # kernels out over it (GSPMD inserts the collectives)
+        from latent_diffusion_speech_tpu.parallel.sharding import (
+            apply_param_shardings,
+            infer_param_shardings,
+        )
+
+        self.param_shardings = infer_param_shardings(self.system.params, self.mesh)
+        self.system.params = apply_param_shardings(self.system.params, self.param_shardings)
+
         schedule = warmup_step_decay(
             tcfg.lr, tcfg.start_lr, tcfg.warm_up_steps, tcfg.decay_step, tcfg.gamma
         )
@@ -83,6 +93,7 @@ class DiffusionTrainer:
         tx = self.tx
         mesh = self.mesh
         quantizer = self.quantizer
+        param_shardings = self.param_shardings
 
         def loss_fn(params, batch, rng):
             units = batch["units"]
@@ -112,7 +123,7 @@ class DiffusionTrainer:
             )
             loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
             grads = jax.tree_util.tree_map(
-                lambda g: jax.lax.with_sharding_constraint(g, NamedSharding(mesh, P())), grads
+                jax.lax.with_sharding_constraint, grads, param_shardings
             )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
