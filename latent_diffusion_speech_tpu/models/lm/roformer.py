@@ -143,20 +143,32 @@ class Attention(nn.Module):
         positions=None,
         cache=None,
         cache_index=None,
+        kv_override=None,
+        kv_only=False,
     ):
         """Returns (out, new_cache). kv_source != None -> cross attention.
 
         cache: optional dict {'k','v'} (B, max_len, H, D) for incremental
         decoding: the current q/k/v at `cache_index` are written in, and
-        attention runs over the valid prefix."""
+        attention runs over the valid prefix.
+        kv_override: precomputed (k, v) heads (cross-attention K/V is
+        loop-invariant during generation — computed once, reused every step).
+        kv_only: just compute and return the (k, v) heads."""
         cfg = self.cfg
         C = cfg.hidden_size
         source = x if kv_source is None else kv_source
+        if kv_only:
+            k = self._heads(nn.Dense(C, dtype=self.dtype, name="key")(source))
+            v = self._heads(nn.Dense(C, dtype=self.dtype, name="value")(source))
+            return (k, v), None
         q = self._heads(nn.Dense(C, dtype=self.dtype, name="query")(x))
-        k = self._heads(nn.Dense(C, dtype=self.dtype, name="key")(source))
-        v = self._heads(nn.Dense(C, dtype=self.dtype, name="value")(source))
+        if kv_override is not None:
+            k, v = kv_override
+        else:
+            k = self._heads(nn.Dense(C, dtype=self.dtype, name="key")(source))
+            v = self._heads(nn.Dense(C, dtype=self.dtype, name="value")(source))
 
-        if self.use_rotary and kv_source is None:
+        if self.use_rotary and kv_source is None and kv_override is None:
             if positions is None:
                 positions = jnp.arange(x.shape[1])
             sin, cos = rotary_sin_cos(positions, C // cfg.num_attention_heads)
@@ -201,8 +213,14 @@ class Layer(nn.Module):
         cache=None,
         cache_index=None,
         deterministic=True,
+        cross_kv=None,
+        cross_kv_only=False,
     ):
         eps = self.cfg.layer_norm_eps
+        if cross_kv_only:
+            return Attention(self.cfg, use_rotary=False, dtype=self.dtype, name="cross_attn")(
+                enc_states, kv_source=enc_states, kv_only=True
+            )
         drop = nn.Dropout(self.cfg.hidden_dropout_prob, deterministic=deterministic)
         h, new_cache = Attention(self.cfg, dtype=self.dtype, name="self_attn")(
             x, mask=self_mask, is_causal=is_causal, positions=positions,
@@ -212,7 +230,7 @@ class Layer(nn.Module):
 
         if self.cross_attention and enc_states is not None:
             h, _ = Attention(self.cfg, use_rotary=False, dtype=self.dtype, name="cross_attn")(
-                x, kv_source=enc_states, mask=cross_mask
+                x, kv_source=enc_states, mask=cross_mask, kv_override=cross_kv
             )
             x = nn.LayerNorm(epsilon=eps, name="cross_ln")(x + drop(h))
 
@@ -298,18 +316,28 @@ class Roformer(nn.Module):
 
     # -- decoder (incremental) ----------------------------------------------
 
-    def decode_step(self, token, pos, caches, enc_states, cross_mask=None):
+    def compute_cross_kv(self, enc_states):
+        """Per-decoder-layer cross-attention (k, v) heads — loop-invariant
+        during generation, so computed once outside the decode scan."""
+        return [
+            layer(None, enc_states=enc_states, cross_kv_only=True)[0]
+            for layer in self.decoder_layers
+        ]
+
+    def decode_step(self, token, pos, caches, enc_states, cross_mask=None, cross_kvs=None):
         """One decode step. token (B,), pos scalar, caches: list per layer.
         Returns (logits (B, V), new_caches)."""
         x = self.semantic_embed(token[:, None]) + self.dec_type_embed(jnp.zeros_like(token[:, None]))
         x = self.dec_emb_ln(x)
         cm = cross_mask[:, None, None, :].astype(bool) if cross_mask is not None else None
         positions = jnp.asarray([pos])
+        if cross_kvs is None:
+            cross_kvs = [None] * len(self.decoder_layers)
         new_caches = []
-        for layer, cache in zip(self.decoder_layers, caches):
+        for layer, cache, ckv in zip(self.decoder_layers, caches, cross_kvs):
             x, new_cache = layer(
                 x, enc_states=enc_states, cross_mask=cm,
-                positions=positions, cache=cache, cache_index=pos,
+                positions=positions, cache=cache, cache_index=pos, cross_kv=ckv,
             )
             new_caches.append(new_cache)
         return self._lm_head(x)[:, 0], new_caches
@@ -373,11 +401,14 @@ class RoformerSystem:
         caches = self.module.apply(
             {"params": params}, B, max_len, method=self.module.init_cache
         )
+        cross_kvs = self.module.apply(
+            {"params": params}, enc, method=self.module.compute_cross_kv
+        )
 
         def step_fn(carry, token, pos):
             caches = carry
             logits, caches = self.module.apply(
-                {"params": params}, token, pos, caches, enc, enc_mask,
+                {"params": params}, token, pos, caches, enc, enc_mask, cross_kvs,
                 method=self.module.decode_step,
             )
             return caches, logits
