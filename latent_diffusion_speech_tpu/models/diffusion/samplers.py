@@ -180,15 +180,13 @@ def dpmpp_sample(
 
     m0 = model(x, ts[0])
 
-    # scan carrying (x, m_prev, m_prev_prev, h_prev) with order selection per step
-    def step2(carry, idx):
-        x, m_0, m_1, h_prev = carry  # m_0 newest
+    def update(x, m_0, m_1, h_prev, idx):
+        """One multistep DPM-Solver++ x-update (no model eval)."""
         lam_t, lam_s = lambdas[idx + 1], lambdas[idx]
         sig_t, sig_s = sigmas[idx + 1], sigmas[idx]
         alpha_t = alphas[idx + 1]
         h = lam_t - lam_s
         phi_1 = jnp.expm1(-h)
-
         r0 = h_prev / h
         D1 = (m_0 - m_1) / jnp.where(r0 == 0, 1.0, r0)
         # order per step: builds up over the first steps; lowered at the final
@@ -197,18 +195,24 @@ def dpmpp_sample(
         if steps < 10:
             step_order = jnp.minimum(step_order, steps - idx)
         use_d1 = (step_order >= 2).astype(x.dtype)
-
         x = (sig_t / sig_s) * x - (alpha_t * phi_1) * m_0 - use_d1 * 0.5 * (alpha_t * phi_1) * D1
+        return x, h
 
-        t_new = ts[idx + 1]
-        m_new = jax.lax.cond(
-            idx + 1 < steps, lambda: model(x, t_new), lambda: m_0
-        )
+    # scan over the first steps-1 iterations (each evaluates the model once);
+    # the final update needs no model eval and runs outside the scan — this
+    # keeps the model call unconditional in the scan body (a lax.cond around
+    # the whole UNet doubles the compiled body)
+    def step2(carry, idx):
+        x, m_0, m_1, h_prev = carry
+        x, h = update(x, m_0, m_1, h_prev, idx)
+        m_new = model(x, ts[idx + 1])
         return (x, m_new, m_0, h), None
 
-    (x, *_), _ = jax.lax.scan(
-        step2, (x, m0, jnp.zeros_like(m0), jnp.array(1.0, lambdas.dtype)), jnp.arange(steps)
-    )
+    carry = (x, m0, jnp.zeros_like(m0), jnp.array(1.0, lambdas.dtype))
+    if steps > 1:
+        carry, _ = jax.lax.scan(step2, carry, jnp.arange(steps - 1))
+    x, m_0, m_1, h_prev = carry
+    x, _ = update(x, m_0, m_1, h_prev, jnp.asarray(steps - 1))
     return x
 
 
@@ -229,8 +233,8 @@ def unipc_sample(
 
     m0 = model(x, ts[0])
 
-    def step(carry, idx):
-        x, m_0, m_1, lam_prev_1 = carry  # m_0 = newest model output; lam_prev_1 = lambda at m_1's t
+    def coeffs(x, m_0, m_1, lam_prev_1, idx):
+        """Predictor state + shared coefficients for step idx -> idx+1."""
         lam_t, lam_s = lambdas[idx + 1], lambdas[idx]
         sig_t, sig_s = sigmas[idx + 1], sigmas[idx]
         alpha_t = alphas[idx + 1]
@@ -244,7 +248,7 @@ def unipc_sample(
 
         r0 = (lam_prev_1 - lam_s) / h
         r0_safe = jnp.where(r0 == 0, 1.0, r0)
-        D1_0 = (m_1 - m_0) / r0_safe  # note: (model_prev_i - model_prev_0)/rk
+        D1_0 = (m_1 - m_0) / r0_safe  # (model_prev_i - model_prev_0)/rk
 
         # b coefficients (bh variant recurrence, uni_pc.py:500-522)
         h_phi_k1 = h_phi_1 / hh - 1.0
@@ -253,31 +257,31 @@ def unipc_sample(
         b2 = h_phi_k2 * 2.0 / B_h
 
         x_t_ = (sig_t / sig_s) * x - (alpha_t * h_phi_1) * m_0
-
         # predictor: order2 rhos_p = [0.5]; order1 has no D1 term
         x_pred = x_t_ - is_order2 * (alpha_t * B_h) * (0.5 * D1_0)
+        return x_t_, x_pred, (alpha_t, B_h, r0, b1, b2, is_order2, D1_0)
 
-        # corrector (skipped at the final step, uni_pc.py:640-644)
-        def with_corrector():
-            m_t = model(x_pred, ts[idx + 1])
-            # order2: solve [[1,1],[r0,1]] rhos = [b1,b2]
-            denom = jnp.where(1.0 - r0 == 0, 1.0, 1.0 - r0)
-            rc0_o2 = (b1 - b2) / denom
-            rc1_o2 = b2 - rc0_o2 * r0
-            # order1: rhos_c = [0.5]
-            rc_d1 = is_order2 * rc0_o2
-            rc_dt = is_order2 * rc1_o2 + (1 - is_order2) * 0.5
-            D1_t = m_t - m_0
-            x_corr = x_t_ - (alpha_t * B_h) * (rc_d1 * D1_0 + rc_dt * D1_t)
-            return x_corr, m_t
+    # scan over steps-1 iterations with the corrector (one model eval each);
+    # the final step has no corrector (uni_pc.py:640-644) and runs outside —
+    # keeping the UNet call unconditional in the scan body
+    def step(carry, idx):
+        x, m_0, m_1, lam_prev_1 = carry
+        x_t_, x_pred, (alpha_t, B_h, r0, b1, b2, is_order2, D1_0) = coeffs(
+            x, m_0, m_1, lam_prev_1, idx
+        )
+        m_t = model(x_pred, ts[idx + 1])
+        # corrector: order2 solves [[1,1],[r0,1]] rhos = [b1,b2]; order1 uses [0.5]
+        denom = jnp.where(1.0 - r0 == 0, 1.0, 1.0 - r0)
+        rc0_o2 = (b1 - b2) / denom
+        rc1_o2 = b2 - rc0_o2 * r0
+        rc_d1 = is_order2 * rc0_o2
+        rc_dt = is_order2 * rc1_o2 + (1 - is_order2) * 0.5
+        x_new = x_t_ - (alpha_t * B_h) * (rc_d1 * D1_0 + rc_dt * (m_t - m_0))
+        return (x_new, m_t, m_0, lambdas[idx]), None
 
-        def without_corrector():
-            return x_pred, m_0
-
-        x_new, m_new = jax.lax.cond(idx + 1 < steps, with_corrector, without_corrector)
-        return (x_new, m_new, m_0, lam_s), None
-
-    (x, *_), _ = jax.lax.scan(
-        step, (x, m0, jnp.zeros_like(m0), lambdas[0]), jnp.arange(steps)
-    )
-    return x
+    carry = (x, m0, jnp.zeros_like(m0), lambdas[0])
+    if steps > 1:
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(steps - 1))
+    x, m_0, m_1, lam_prev_1 = carry
+    _, x_pred, _ = coeffs(x, m_0, m_1, lam_prev_1, jnp.asarray(steps - 1))
+    return x_pred
