@@ -134,6 +134,7 @@ class TrainConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
     seed: int = 0
+    ema_decay: float = 0.0  # >0 enables a params EMA for eval/serve
 
 
 @dataclass

@@ -84,7 +84,18 @@ class DiffusionTrainer:
             self.tx = optax.MultiSteps(self.tx, tcfg.gradient_accumulation_steps)
         self.opt_state = self.tx.init(self.system.params)
         self.step = 0
+        # optional EMA of params for eval/serve (no reference equivalent;
+        # standard practice for diffusion models)
+        self.ema_decay = getattr(tcfg, "ema_decay", 0.0) or 0.0
+        self.ema_params = self.system.params if self.ema_decay > 0 else None
         self._train_step = self._build_train_step()
+        if self.ema_decay > 0:
+            decay = self.ema_decay
+            self._ema_update = jax.jit(
+                lambda ema, p: jax.tree_util.tree_map(
+                    lambda e, q: decay * e + (1 - decay) * q, ema, p
+                )
+            )
 
     # -- compiled step -------------------------------------------------------
 
@@ -145,6 +156,8 @@ class DiffusionTrainer:
         )
         self.system.params = params
         self.opt_state = opt_state
+        if self.ema_params is not None:
+            self.ema_params = self._ema_update(self.ema_params, params)
         self.step += 1
         return {"loss": loss, "grad_norm": gnorm}
 
