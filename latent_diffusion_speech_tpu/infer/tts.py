@@ -122,26 +122,32 @@ class TTSPipeline:
         if key not in self._infer_cache:
             diffusion, vocoder = self.diffusion, self.vocoder
 
-            def sample_fn(units, spk, rng):
+            # params are jit ARGUMENTS, not closure constants: closing over
+            # them bakes ~100MB of weights into the HLO as constants, which
+            # blows up compile time (and remote-compile request limits)
+            def sample_fn(dparams, units, spk, rng):
                 cond = diffusion.module.apply(
-                    {"params": diffusion.params}, units, None, spk, None,
+                    {"params": dparams}, units, None, spk, None,
                     method=diffusion.module.condition,
                 )
-                return diffusion.diffusion.sample(
-                    cond, rng, method=method, infer_speedup=infer_speedup
-                )
+                old = diffusion._params_override
+                diffusion._params_override = dparams
+                try:
+                    return diffusion.diffusion.sample(
+                        cond, rng, method=method, infer_speedup=infer_speedup
+                    )
+                finally:
+                    diffusion._params_override = old
 
-            def decode_fn(mel):
-                return vocoder.vocoder.generator.apply(
-                    {"params": vocoder.vocoder.generator_params}, mel
-                )
+            def decode_fn(gparams, mel):
+                return vocoder.vocoder.generator.apply({"params": gparams}, mel)
 
             self._infer_cache[key] = (jax.jit(sample_fn), jax.jit(decode_fn))
 
         sample_fn, decode_fn = self._infer_cache[key]
         spk = jnp.full((units.shape[0], 1), spk_id, jnp.int32)
-        mel = sample_fn(units, spk, rng)
-        wav = decode_fn(mel)  # decode at bucket length: one compile per bucket
+        mel = sample_fn(self.diffusion.params, units, spk, rng)
+        wav = decode_fn(self.vocoder.vocoder.generator_params, mel)
         return wav[:, : T * self.vocoder.vocoder_hop_size]
 
     def mel2wav(self, mel: jnp.ndarray) -> jnp.ndarray:

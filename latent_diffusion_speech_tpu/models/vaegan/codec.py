@@ -97,10 +97,9 @@ class HifiVAEGAN:
     # -- compiled paths ------------------------------------------------------
 
     @partial(jax.jit, static_argnames=("self", "only_mean", "only_z"))
-    def _extract(self, audio: jnp.ndarray, rng, only_mean: bool, only_z: bool):
-        z, m, logs = self.encoder.apply(
-            {"params": self.encoder_params}, audio, rngs={"latent": rng}
-        )
+    def _extract(self, params, audio: jnp.ndarray, rng, only_mean: bool, only_z: bool):
+        # params passed as an argument (closure would bake them into the HLO)
+        z, m, logs = self.encoder.apply({"params": params}, audio, rngs={"latent": rng})
         if only_z:
             return z
         if only_mean:
@@ -121,15 +120,15 @@ class HifiVAEGAN:
         if audio.shape[-1] % hop != 0:
             audio = jnp.pad(audio, ((0, 0), (0, hop - audio.shape[-1] % hop)))
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        return self._extract(audio, rng, only_mean, only_z)
+        return self._extract(self.encoder_params, audio, rng, only_mean, only_z)
 
     @partial(jax.jit, static_argnames=("self",))
-    def _decode(self, z: jnp.ndarray) -> jnp.ndarray:
-        return self.generator.apply({"params": self.generator_params}, z)
+    def _decode(self, params, z: jnp.ndarray) -> jnp.ndarray:
+        return self.generator.apply({"params": params}, z)
 
     def decode(self, z: jnp.ndarray) -> jnp.ndarray:
         """Latents (B, T, C) -> waveform (B, T*hop)."""
-        return self._decode(z)
+        return self._decode(self.generator_params, z)
 
     # reference name: forward == decode
     __call__ = decode
