@@ -60,7 +60,14 @@ class DiffusionTrainer:
             k_step=cfg.diffusion.model.k_step_max,
         )
         self.system = Unit2MelSystem(self.model_cfg, dtype=dtype, remat=True, seed=tcfg.seed)
+        # quantizer: EuclideanCodebook (frozen k-means snap) or VectorQuantize
+        # (learned, trained jointly with commit loss + EMA codebook — the
+        # reference's use_units_quantize vq path, solver.py:114-123)
         self.quantizer = quantizer
+        from latent_diffusion_speech_tpu.quantize import VectorQuantize
+
+        self._vq = quantizer if isinstance(quantizer, VectorQuantize) else None
+        self.vq_state = self._vq.init(jax.random.PRNGKey(tcfg.seed + 1)) if self._vq else None
 
         # tensor parallelism: when the mesh has a model axis > 1, lay the big
         # kernels out over it (GSPMD inserts the collectives)
@@ -106,11 +113,17 @@ class DiffusionTrainer:
         quantizer = self.quantizer
         param_shardings = self.param_shardings
 
-        def loss_fn(params, batch, rng):
+        vq = self._vq
+
+        def loss_fn(params, batch, rng, vq_state):
             units = batch["units"]
-            if quantizer is not None:
+            commit = 0.0
+            new_vq_state = vq_state
+            if vq is not None:
+                units, _, commit, new_vq_state = vq(vq_state, units, train=True)
+            elif quantizer is not None:
                 units = quantizer(units)
-            return system.loss(
+            diff_loss = system.loss(
                 params,
                 units,
                 batch["mel"],
@@ -118,12 +131,13 @@ class DiffusionTrainer:
                 spk_id=batch["spk_id"],
                 aug_shift=batch.get("aug_shift"),
             )
+            return diff_loss + commit, new_vq_state
 
         @partial(
             jax.jit,
             donate_argnums=(0, 1),
         )
-        def train_step(params, opt_state, batch, rng):
+        def train_step(params, opt_state, batch, rng, vq_state):
             # keep the batch sharded over the data axis; params replicated —
             # XLA inserts the gradient all-reduce from these constraints
             batch = jax.tree_util.tree_map(
@@ -132,14 +146,16 @@ class DiffusionTrainer:
                 ),
                 batch,
             )
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+            (loss, new_vq_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng, vq_state
+            )
             grads = jax.tree_util.tree_map(
                 jax.lax.with_sharding_constraint, grads, param_shardings
             )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             gnorm = optax.global_norm(grads)
-            return params, opt_state, loss, gnorm
+            return params, opt_state, loss, gnorm, new_vq_state
 
         return train_step
 
@@ -151,8 +167,8 @@ class DiffusionTrainer:
         return shard_batch(self.mesh, batch)
 
     def train_step(self, batch, rng) -> Dict[str, float]:
-        params, opt_state, loss, gnorm = self._train_step(
-            self.system.params, self.opt_state, batch, rng
+        params, opt_state, loss, gnorm, self.vq_state = self._train_step(
+            self.system.params, self.opt_state, batch, rng, self.vq_state
         )
         self.system.params = params
         self.opt_state = opt_state
@@ -167,7 +183,9 @@ class DiffusionTrainer:
         method = method or self.cfg.common.infer.method
         speedup = speedup or self.cfg.common.infer.speedup
         units = batch["units"]
-        if self.quantizer is not None:
+        if self._vq is not None:
+            units, _, _, _ = self._vq(self.vq_state, units, train=False)
+        elif self.quantizer is not None:
             units = self.quantizer(units)
         return self.system.infer(
             units, rng, spk_id=batch["spk_id"], method=method, infer_speedup=speedup
@@ -211,6 +229,15 @@ class DiffusionTrainer:
             self.opt_state if tcfg.save_opt else None,
             keep=tcfg.last_save_model_num,
         )
+        if self.vq_state is not None:
+            # learned-VQ codebook saved beside the model (reference keeps a
+            # separate `model_<step>_semantic_codebook.pt`, solver.py:143-144)
+            from pathlib import Path
+
+            from flax import serialization
+
+            path = Path(tcfg.expdir) / f"model_{self.step}_semantic_codebook.ckpt"
+            path.write_bytes(serialization.to_bytes(self.vq_state._asdict()))
 
     def resume(self) -> bool:
         tcfg = self.cfg.diffusion.train

@@ -213,3 +213,20 @@ class TestLMTrainer:
 
         ev = trainer.evaluate(b)
         assert 0.0 <= ev["val/top5_acc"] <= 1.0
+
+
+class TestVQJointTraining:
+    def test_vq_trains_with_diffusion(self, pipeline_dir, tmp_path):
+        from latent_diffusion_speech_tpu.quantize import VectorQuantize
+
+        cfg = _tiny_config(tmp_path)
+        vq = VectorQuantize(dim=UNIT_DIM, codebook_size=16, codebook_dim=4)
+        trainer = DiffusionTrainer(cfg, model_cfg=TINY_MODEL, quantizer=vq)
+        ds = DiffusionDataset(pipeline_dir, waveform_sec=1.0, hop_size=2, sample_rate=100, n_spk=4)
+        batch = trainer.device_put_batch(ds.batch(range(4)))
+        m = trainer.train_step(batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss"]))
+        assert float(vq.utilization(trainer.vq_state)) > 0
+        trainer.save()
+        import glob
+        assert glob.glob(str(tmp_path / "exp_diff" / "*_semantic_codebook.ckpt"))
