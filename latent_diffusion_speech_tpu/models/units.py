@@ -89,6 +89,37 @@ class HubertSoftUnits:
         return self._units(self.params, audio16k)
 
 
+class Wav2Vec2BertUnits:
+    """w2v-BERT units via HF transformers (ref `tools/tools.py:128-142`).
+    Torch-CPU execution; requires the facebook/w2v-bert-2.0 weights to be
+    present locally (offline environments raise a clear error)."""
+
+    def __init__(self, cache_dir: str = "pretrain", **_):
+        try:
+            from transformers import AutoFeatureExtractor, Wav2Vec2BertModel
+
+            self.processor = AutoFeatureExtractor.from_pretrained(
+                "facebook/w2v-bert-2.0", cache_dir=cache_dir, local_files_only=True
+            )
+            self.model = Wav2Vec2BertModel.from_pretrained(
+                "facebook/w2v-bert-2.0", cache_dir=cache_dir, local_files_only=True
+            ).eval()
+        except Exception as e:
+            raise NotImplementedError(
+                "w2v-bert units need the facebook/w2v-bert-2.0 weights in "
+                f"{cache_dir}/ (offline environment?)"
+            ) from e
+
+    def __call__(self, audio16k):
+        import numpy as np
+        import torch
+
+        inputs = self.processor(np.asarray(audio16k), sampling_rate=16000, return_tensors="pt")
+        with torch.no_grad():
+            out = self.model(**inputs).last_hidden_state
+        return jnp.asarray(out.numpy())
+
+
 class UnitsEncoder:
     def __init__(
         self,
@@ -104,9 +135,11 @@ class UnitsEncoder:
             self.model = WhisperLargeV3Units(ckpt_path=ckpt_path, **kw)
         elif encoder == "hubert_soft":
             self.model = HubertSoftUnits(ckpt_path=ckpt_path, **kw)
-        elif encoder in ("w2v-bert", "xlsr_53_56k"):
+        elif encoder == "w2v-bert":
+            self.model = Wav2Vec2BertUnits(**kw)
+        elif encoder == "xlsr_53_56k":
             raise NotImplementedError(
-                f"units encoder '{encoder}' requires external pretrained weights; "
+                "xlsr_53_56k needs fairseq + external pretrained weights; "
                 "use whisper_large_v3 / hubert_soft, or plug a custom callable into UnitsEncoder.model"
             )
         else:
