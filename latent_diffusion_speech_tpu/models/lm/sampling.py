@@ -66,19 +66,29 @@ def process_logits(
     if cfg.do_sample and cfg.temperature != 1.0:
         logits = logits / cfg.temperature
 
-    if cfg.do_sample and cfg.top_k > 0:
+    if cfg.do_sample and cfg.top_k > 0 and cfg.top_p < 1.0:
+        # fused top-k + top-p: lax.top_k (partial sort) gives the k survivors
+        # already ordered, so the nucleus cutoff needs no full-vocab sort —
+        # the HF processor order (k then p) does two O(V log V) sorts per step
         k = min(cfg.top_k, logits.shape[-1])
-        kth = jnp.sort(logits, axis=-1)[:, -k][:, None]
-        logits = jnp.where(logits < kth, -jnp.inf, logits)
-
-    if cfg.do_sample and cfg.top_p < 1.0:
+        top_vals, _ = jax.lax.top_k(logits, k)  # (B, k), descending
+        kth = top_vals[:, -1][:, None]
+        probs = jax.nn.softmax(top_vals, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff = cum - probs > cfg.top_p  # True = dropped (keep first always)
+        # nucleus threshold = smallest kept logit among the top-k
+        thresh = jnp.min(jnp.where(cutoff, jnp.inf, top_vals), axis=-1, keepdims=True)
+        logits = jnp.where(logits < jnp.maximum(thresh, kth), -jnp.inf, logits)
+    elif cfg.do_sample and cfg.top_k > 0:
+        k = min(cfg.top_k, logits.shape[-1])
+        top_vals, _ = jax.lax.top_k(logits, k)
+        logits = jnp.where(logits < top_vals[:, -1][:, None], -jnp.inf, logits)
+    elif cfg.do_sample and cfg.top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
-        # keep tokens until cumulative prob exceeds top_p (always keep first)
         cutoff_mask = cum - probs > cfg.top_p
         sorted_logits = jnp.where(cutoff_mask, -jnp.inf, sorted_logits)
-        # min kept logit becomes the threshold
         thresh = jnp.min(jnp.where(cutoff_mask, jnp.inf, sorted_logits), axis=-1, keepdims=True)
         logits = jnp.where(logits < thresh, -jnp.inf, logits)
 
