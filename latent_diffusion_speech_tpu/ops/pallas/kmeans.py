@@ -47,7 +47,7 @@ def _argmin_kernel(x_ref, cb_ref, cb_sq_ref, out_ref, best_d, best_i, *, block_k
 
     @pl.when(ki == pl.num_programs(1) - 1)
     def _finish():
-        out_ref[0] = best_i[:][:, 0]
+        out_ref[pl.program_id(0), :] = best_i[:][:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k"))
@@ -76,7 +76,9 @@ def kmeans_argmin(
             pl.BlockSpec((block_k, D), lambda ni, ki: (ki, 0)),
             pl.BlockSpec((1, block_k), lambda ni, ki: (0, ki)),
         ],
-        out_specs=pl.BlockSpec((1, block_n), lambda ni, ki: (ni, 0)),
+        # whole output resident (rows written per grid cell): satisfies the
+        # Mosaic (sublane, lane) block constraints for int32 outputs
+        out_specs=pl.BlockSpec((n_blocks, block_n), lambda ni, ki: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_blocks, block_n), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((block_n, 1), jnp.float32),
