@@ -39,6 +39,15 @@ class DataLoader:
         self.num_threads = num_threads
         self.rng = np.random.default_rng(seed)
         self.device_put = device_put
+        # native fast path: datasets exposing fast_batch (C++ batched reads)
+        self._fast = None
+        if collate is None and hasattr(dataset, "fast_batch"):
+            try:
+                from latent_diffusion_speech_tpu.data.native_loader import native_available
+
+                self._fast = bool(native_available())
+            except Exception:
+                self._fast = False
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -55,11 +64,18 @@ class DataLoader:
             yield idx[n_full * self.batch_size :]
 
     def _make_batch(self, indices):
-        items = [self.dataset[int(i)] for i in indices]
-        if self.collate is not None:
-            batch = self.collate(items)
+        if self._fast:
+            try:
+                batch = self.dataset.fast_batch([int(i) for i in indices])
+            except OSError:
+                self._fast = False
+                return self._make_batch(indices)
         else:
-            batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+            items = [self.dataset[int(i)] for i in indices]
+            if self.collate is not None:
+                batch = self.collate(items)
+            else:
+                batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
         if self.device_put is not None:
             batch = self.device_put(batch)
         return batch
