@@ -43,6 +43,7 @@ class DiffusionTrainer:
         mesh=None,
         quantizer=None,
         dtype=jnp.float32,
+        remat: bool = False,
     ):
         self.cfg = cfg
         tcfg = cfg.diffusion.train
@@ -59,7 +60,9 @@ class DiffusionTrainer:
             timesteps=cfg.diffusion.model.timesteps,
             k_step=cfg.diffusion.model.k_step_max,
         )
-        self.system = Unit2MelSystem(self.model_cfg, dtype=dtype, remat=True, seed=tcfg.seed)
+        # remat trades compile time + recompute for activation memory; the
+        # flagship geometry fits v5e HBM without it at practical batch sizes
+        self.system = Unit2MelSystem(self.model_cfg, dtype=dtype, remat=remat, seed=tcfg.seed)
         # quantizer: EuclideanCodebook (frozen k-means snap) or VectorQuantize
         # (learned, trained jointly with commit loss + EMA codebook — the
         # reference's use_units_quantize vq path, solver.py:114-123)
