@@ -170,7 +170,8 @@ def _data_pred_fn(eps_fn: EpsFn, ns: NoiseSchedule, B: int):
 def dpmpp_sample(
     eps_fn: EpsFn, ns: NoiseSchedule, x: jnp.ndarray, steps: int, order: int = 2
 ) -> jnp.ndarray:
-    assert order in (1, 2)
+    """Multistep DPM-Solver++ orders 1-3 (dpm_solver_pytorch.py:547-955)."""
+    assert order in (1, 2, 3)
     B = x.shape[0]
     model = _data_pred_fn(eps_fn, ns, B)
     ts = jnp.linspace(ns.T, 1.0 / ns.total_N, steps + 1)
@@ -180,22 +181,38 @@ def dpmpp_sample(
 
     m0 = model(x, ts[0])
 
-    def update(x, m_0, m_1, h_prev, idx):
-        """One multistep DPM-Solver++ x-update (no model eval)."""
+    def update(x, m_0, m_1, m_2, h_prev, h_prev2, idx):
+        """One multistep DPM-Solver++ x-update (no model eval).
+        m_0 newest; h_prev = λ_{i-1}-λ_{i-2}, h_prev2 = λ_{i-2}-λ_{i-3}."""
         lam_t, lam_s = lambdas[idx + 1], lambdas[idx]
         sig_t, sig_s = sigmas[idx + 1], sigmas[idx]
         alpha_t = alphas[idx + 1]
         h = lam_t - lam_s
         phi_1 = jnp.expm1(-h)
         r0 = h_prev / h
-        D1 = (m_0 - m_1) / jnp.where(r0 == 0, 1.0, r0)
+        r1 = h_prev2 / h
+        safe = lambda v: jnp.where(v == 0, 1.0, v)
+        D1_0 = (m_0 - m_1) / safe(r0)
+        D1_1 = (m_1 - m_2) / safe(r1)
         # order per step: builds up over the first steps; lowered at the final
         # steps only when steps < 10 (dpm_solver_pytorch.py:1197-1198)
         step_order = jnp.minimum(idx + 1, order)
         if steps < 10:
             step_order = jnp.minimum(step_order, steps - idx)
         use_d1 = (step_order >= 2).astype(x.dtype)
-        x = (sig_t / sig_s) * x - (alpha_t * phi_1) * m_0 - use_d1 * 0.5 * (alpha_t * phi_1) * D1
+        use_d2 = (step_order >= 3).astype(x.dtype)
+
+        base = (sig_t / sig_s) * x - (alpha_t * phi_1) * m_0
+        # order-2 term
+        o2 = -0.5 * (alpha_t * phi_1) * D1_0
+        # order-3 terms (multistep_dpm_solver_third_update, dpmsolver++)
+        D1 = D1_0 + (r0 / safe(r0 + r1)) * (D1_0 - D1_1)
+        D2 = (D1_0 - D1_1) / safe(r0 + r1)
+        phi_2 = phi_1 / jnp.where(h == 0, 1.0, h) + 1.0
+        phi_3 = phi_2 / jnp.where(h == 0, 1.0, h) - 0.5
+        o3 = alpha_t * phi_2 * D1 - alpha_t * phi_3 * D2
+
+        x = base + jnp.where(use_d2 > 0, o3, use_d1 * o2)
         return x, h
 
     # scan over the first steps-1 iterations (each evaluates the model once);
@@ -203,16 +220,17 @@ def dpmpp_sample(
     # keeps the model call unconditional in the scan body (a lax.cond around
     # the whole UNet doubles the compiled body)
     def step2(carry, idx):
-        x, m_0, m_1, h_prev = carry
-        x, h = update(x, m_0, m_1, h_prev, idx)
+        x, m_0, m_1, m_2, h_prev, h_prev2 = carry
+        x, h = update(x, m_0, m_1, m_2, h_prev, h_prev2, idx)
         m_new = model(x, ts[idx + 1])
-        return (x, m_new, m_0, h), None
+        return (x, m_new, m_0, m_1, h, h_prev), None
 
-    carry = (x, m0, jnp.zeros_like(m0), jnp.array(1.0, lambdas.dtype))
+    one = jnp.array(1.0, lambdas.dtype)
+    carry = (x, m0, jnp.zeros_like(m0), jnp.zeros_like(m0), one, one)
     if steps > 1:
         carry, _ = jax.lax.scan(step2, carry, jnp.arange(steps - 1))
-    x, m_0, m_1, h_prev = carry
-    x, _ = update(x, m_0, m_1, h_prev, jnp.asarray(steps - 1))
+    x, m_0, m_1, m_2, h_prev, h_prev2 = carry
+    x, _ = update(x, m_0, m_1, m_2, h_prev, h_prev2, jnp.asarray(steps - 1))
     return x
 
 

@@ -73,6 +73,14 @@ class LMTrainer:
         self.lm_cfg = lm_cfg or roformer_config_from(cfg)
         self.system = RoformerSystem(self.lm_cfg, dtype=dtype, seed=tcfg.seed, codebook=codebook)
 
+        from latent_diffusion_speech_tpu.parallel.sharding import (
+            apply_param_shardings,
+            infer_param_shardings,
+        )
+
+        self.param_shardings = infer_param_shardings(self.system.params, self.mesh)
+        self.system.params = apply_param_shardings(self.system.params, self.param_shardings)
+
         schedule = warmup_step_decay(tcfg.lr, tcfg.start_lr, tcfg.warm_up_steps, tcfg.decay_step, tcfg.gamma)
         chain = []
         if tcfg.clip_grad_norm and tcfg.clip_grad_norm > 0:
@@ -89,6 +97,7 @@ class LMTrainer:
         system = self.system
         tx = self.tx
         mesh = self.mesh
+        param_shardings = self.param_shardings
 
         def loss_fn(params, batch, dropout_rng):
             return system.loss(
@@ -112,6 +121,9 @@ class LMTrainer:
                 batch,
             )
             loss, grads = jax.value_and_grad(loss_fn)(params, batch, dropout_rng)
+            grads = jax.tree_util.tree_map(
+                jax.lax.with_sharding_constraint, grads, param_shardings
+            )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, optax.global_norm(grads)

@@ -179,7 +179,7 @@ class TestSolverParityVsReference:
     """Run the reference DPM-Solver++/UniPC on a deterministic toy eps-model and
     compare full trajectories."""
 
-    def _setup(self, steps, method):
+    def _setup(self, steps, method, order=2):
         torch = pytest.importorskip("torch")
         if REFERENCE not in sys.path:
             sys.path.insert(0, REFERENCE)
@@ -204,7 +204,7 @@ class TestSolverParityVsReference:
             solver = DPM_Solver(fn, ns_t, algorithm_type="dpmsolver++")
             with torch.no_grad():
                 ref = solver.sample(
-                    torch.from_numpy(x0), steps=steps, order=2, skip_type="time_uniform", method="multistep"
+                    torch.from_numpy(x0), steps=steps, order=order, skip_type="time_uniform", method="multistep"
                 ).numpy()
         else:
             from diffusion.uni_pc import NoiseScheduleVP, model_wrapper, UniPC
@@ -231,7 +231,7 @@ class TestSolverParityVsReference:
 
         x_init = jnp.asarray(x0[:, 0].transpose(0, 2, 1))
         if method == "dpm-solver":
-            mine = dpmpp_sample(eps_fn, ns_j, x_init, steps=steps, order=2)
+            mine = dpmpp_sample(eps_fn, ns_j, x_init, steps=steps, order=order)
         else:
             mine = unipc_sample(eps_fn, ns_j, x_init, steps=steps, order=2)
         return ref[:, 0], np.asarray(mine).transpose(0, 2, 1)
@@ -240,6 +240,11 @@ class TestSolverParityVsReference:
     @pytest.mark.parametrize("steps", [5, 20])
     def test_trajectory_matches(self, method, steps):
         ref, mine = self._setup(steps, method)
+        np.testing.assert_allclose(mine, ref, atol=2e-3, rtol=2e-3)
+
+    @pytest.mark.parametrize("steps", [6, 20])
+    def test_dpmpp_order3_matches(self, steps):
+        ref, mine = self._setup(steps, "dpm-solver", order=3)
         np.testing.assert_allclose(mine, ref, atol=2e-3, rtol=2e-3)
 
 
