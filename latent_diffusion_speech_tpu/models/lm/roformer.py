@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -172,8 +172,6 @@ class Attention(nn.Module):
             if positions is None:
                 positions = jnp.arange(x.shape[1])
             sin, cos = rotary_sin_cos(positions, C // cfg.num_attention_heads)
-            if sin.ndim == 2 and positions.ndim == 1:
-                pass
             q = apply_rotary_pairs(q, sin, cos)
             k = apply_rotary_pairs(k, sin, cos)
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from latent_diffusion_speech_tpu.config import Config
 from latent_diffusion_speech_tpu.models.diffusion import Unit2MelConfig, Unit2MelSystem
-from latent_diffusion_speech_tpu.parallel.mesh import batch_sharding, build_mesh, replicated
+from latent_diffusion_speech_tpu.parallel.mesh import build_mesh
 from latent_diffusion_speech_tpu.train.checkpoint import (
     latest_checkpoint_step,
     load_checkpoint,

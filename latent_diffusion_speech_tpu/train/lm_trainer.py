@@ -20,7 +20,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from latent_diffusion_speech_tpu.config import Config
 from latent_diffusion_speech_tpu.models.lm import RoformerConfig, RoformerSystem
 from latent_diffusion_speech_tpu.models.lm.roformer import StackConfig
-from latent_diffusion_speech_tpu.parallel.mesh import batch_sharding, build_mesh
+from latent_diffusion_speech_tpu.parallel.mesh import build_mesh
 from latent_diffusion_speech_tpu.train.checkpoint import (
     latest_checkpoint_step,
     load_checkpoint,
