@@ -145,6 +145,7 @@ class Attention(nn.Module):
         cache_index=None,
         kv_override=None,
         kv_only=False,
+        deterministic=True,
     ):
         """Returns (out, new_cache). kv_source != None -> cross attention.
 
@@ -186,7 +187,13 @@ class Attention(nn.Module):
             mask = valid if mask is None else (mask & valid)
             is_causal = False
 
-        out = dot_product_attention(q, k, v, mask=mask, is_causal=is_causal)
+        drop_rng = None
+        if not deterministic and cfg.attention_probs_dropout_prob > 0:
+            drop_rng = self.make_rng("dropout")
+        out = dot_product_attention(
+            q, k, v, mask=mask, is_causal=is_causal,
+            dropout_rate=cfg.attention_probs_dropout_prob, dropout_rng=drop_rng,
+        )
         out = out.reshape(x.shape[0], x.shape[1], C)
         return nn.Dense(C, dtype=self.dtype, name="out")(out), new_cache
 
@@ -222,13 +229,14 @@ class Layer(nn.Module):
         drop = nn.Dropout(self.cfg.hidden_dropout_prob, deterministic=deterministic)
         h, new_cache = Attention(self.cfg, dtype=self.dtype, name="self_attn")(
             x, mask=self_mask, is_causal=is_causal, positions=positions,
-            cache=cache, cache_index=cache_index,
+            cache=cache, cache_index=cache_index, deterministic=deterministic,
         )
         x = nn.LayerNorm(epsilon=eps, name="self_ln")(x + drop(h))
 
         if self.cross_attention and enc_states is not None:
             h, _ = Attention(self.cfg, use_rotary=False, dtype=self.dtype, name="cross_attn")(
-                x, kv_source=enc_states, mask=cross_mask, kv_override=cross_kv
+                x, kv_source=enc_states, mask=cross_mask, kv_override=cross_kv,
+                deterministic=deterministic,
             )
             x = nn.LayerNorm(epsilon=eps, name="cross_ln")(x + drop(h))
 

@@ -32,11 +32,15 @@ def dot_product_attention(
     is_causal: bool = False,
     scale: Optional[float] = None,
     impl: str = "xla",
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Attention over (B, T, H, D) tensors (q: T_q, k/v: T_kv).
 
     mask: broadcastable boolean (True = attend) of shape (..., T_q, T_kv).
     bias: additive float bias, same broadcast rules.
+    dropout on the attention probabilities (HF attention_probs_dropout) when
+    dropout_rate > 0 and a dropout_rng is given.
     Softmax is computed in float32 regardless of input dtype.
     """
     orig_dtype = q.dtype
@@ -59,6 +63,9 @@ def dot_product_attention(
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     weights = jax.nn.softmax(logits, axis=-1).astype(orig_dtype)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
