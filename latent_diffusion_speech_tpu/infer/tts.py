@@ -77,15 +77,14 @@ class TTSPipeline:
         """Run the LM; returns semantic token ids (L,) with BOS/EOS stripped
         (`22_infer_tts.py:83-103` behavior)."""
         assert self.lm is not None, "pipeline built without a language model"
-        phones = jnp.asarray(phones)[None]
-        tones = jnp.asarray(tones)[None]
-        spk = jnp.full(phones.shape, spk_id, jnp.int32)
+        phones = jnp.asarray(np.asarray(phones)[None])
+        tones = jnp.asarray(np.asarray(tones)[None])
         tokens, lengths = self.lm.generate(
-            phones, tones, spk_id=spk, max_length=max_length, top_k=top_k,
+            phones, tones, spk_id=spk_id, max_length=max_length, top_k=top_k,
             end_gate_threshold=end_gate_threshold, rng=rng,
         )
         n = int(lengths[0])
-        toks = np.asarray(tokens[0, :n])
+        toks = np.asarray(tokens)[0, :n]
         # strip EOS if present, and any stray BOS/PAD
         toks = toks[toks < self.lm.cfg.semantic_kmeans_num]
         return toks.astype(np.int32)
@@ -107,25 +106,31 @@ class TTSPipeline:
         rng: Optional[jax.Array] = None,
         pad_to_bucket: bool = True,
     ) -> jnp.ndarray:
-        """units (1, T, D) -> waveform (1, T*hop). One XLA program end-to-end."""
+        """units (1, T, D) -> waveform (1, T*hop). One XLA program end-to-end,
+        with zero eager ops between host and the compiled calls (each eager op
+        is a device round-trip; they dominated serve latency)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         T = units.shape[1]
         padded_T = _bucket(T) if pad_to_bucket else T
-        if padded_T != T:
-            units = jnp.pad(units, ((0, 0), (0, padded_T - T), (0, 0)), mode="edge")
 
-        # two cached programs: (condition + full sampling scan) and (vocoder
-        # decode).  One giant fused program is kinder to runtime overhead but
-        # can exceed remote-compiler limits; two keeps each compile bounded
-        # while still eliminating eager per-op dispatch.
-        key = (padded_T, units.shape[0], method, infer_speedup)
+        # two cached programs: (pad + condition + full sampling scan) and
+        # (vocoder decode + crop).  One giant fused program is kinder to
+        # runtime overhead but can exceed remote-compiler limits; two keeps
+        # each compile bounded.
+        key = (padded_T, T, units.shape[0], method, infer_speedup)
         if key not in self._infer_cache:
             diffusion, vocoder = self.diffusion, self.vocoder
+            hop = self.vocoder.vocoder_hop_size
 
             # params are jit ARGUMENTS, not closure constants: closing over
             # them bakes ~100MB of weights into the HLO as constants, which
             # blows up compile time (and remote-compile request limits)
-            def sample_fn(dparams, units, spk, rng):
+            def sample_fn(dparams, units, spk_id, rng):
+                if padded_T != units.shape[1]:
+                    units = jnp.pad(
+                        units, ((0, 0), (0, padded_T - units.shape[1]), (0, 0)), mode="edge"
+                    )
+                spk = jnp.full((units.shape[0], 1), spk_id, jnp.int32)
                 cond = diffusion.module.apply(
                     {"params": dparams}, units, None, spk, None,
                     method=diffusion.module.condition,
@@ -140,15 +145,14 @@ class TTSPipeline:
                     diffusion._params_override = old
 
             def decode_fn(gparams, mel):
-                return vocoder.vocoder.generator.apply({"params": gparams}, mel)
+                wav = vocoder.vocoder.generator.apply({"params": gparams}, mel)
+                return wav[:, : T * hop]
 
             self._infer_cache[key] = (jax.jit(sample_fn), jax.jit(decode_fn))
 
         sample_fn, decode_fn = self._infer_cache[key]
-        spk = jnp.full((units.shape[0], 1), spk_id, jnp.int32)
-        mel = sample_fn(self.diffusion.params, units, spk, rng)
-        wav = decode_fn(self.vocoder.vocoder.generator_params, mel)
-        return wav[:, : T * self.vocoder.vocoder_hop_size]
+        mel = sample_fn(self.diffusion.params, units, spk_id, rng)
+        return decode_fn(self.vocoder.vocoder.generator_params, mel)
 
     def mel2wav(self, mel: jnp.ndarray) -> jnp.ndarray:
         return self.vocoder.infer(mel)

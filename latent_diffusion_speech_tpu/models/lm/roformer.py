@@ -399,6 +399,10 @@ class RoformerSystem:
 
     @partial(jax.jit, static_argnames=("self", "sampling"))
     def _generate(self, params, phone, tone, spk_id, enc_mask, sampling: SamplingConfig, rng):
+        if spk_id is not None and jnp.ndim(spk_id) == 0:
+            # scalar speaker id: broadcast inside the compiled program (an
+            # eager jnp.full on the caller side costs a device round-trip)
+            spk_id = jnp.full(phone.shape, spk_id, jnp.int32)
         enc = self.module.apply(
             {"params": params}, phone, tone, spk_id, enc_mask, method=self.module.encode
         )
