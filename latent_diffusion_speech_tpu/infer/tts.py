@@ -113,19 +113,17 @@ class TTSPipeline:
         T = units.shape[1]
         padded_T = _bucket(T) if pad_to_bucket else T
 
-        # two cached programs: (pad + condition + full sampling scan) and
-        # (vocoder decode + crop).  One giant fused program is kinder to
-        # runtime overhead but can exceed remote-compiler limits; two keeps
-        # each compile bounded.
+        # ONE cached program: pad + condition + sampling scan + vocoder decode
+        # + crop. Safe to fuse because params are jit ARGUMENTS — closing over
+        # them would bake ~100MB of weights into the HLO as constants and blow
+        # remote-compile limits; as arguments the HLO stays small and each
+        # serve costs a single host->device dispatch.
         key = (padded_T, T, units.shape[0], method, infer_speedup)
         if key not in self._infer_cache:
             diffusion, vocoder = self.diffusion, self.vocoder
             hop = self.vocoder.vocoder_hop_size
 
-            # params are jit ARGUMENTS, not closure constants: closing over
-            # them bakes ~100MB of weights into the HLO as constants, which
-            # blows up compile time (and remote-compile request limits)
-            def sample_fn(dparams, units, spk_id, rng):
+            def serve_fn(dparams, gparams, units, spk_id, rng):
                 if padded_T != units.shape[1]:
                     units = jnp.pad(
                         units, ((0, 0), (0, padded_T - units.shape[1]), (0, 0)), mode="edge"
@@ -138,21 +136,19 @@ class TTSPipeline:
                 old = diffusion._params_override
                 diffusion._params_override = dparams
                 try:
-                    return diffusion.diffusion.sample(
+                    mel = diffusion.diffusion.sample(
                         cond, rng, method=method, infer_speedup=infer_speedup
                     )
                 finally:
                     diffusion._params_override = old
-
-            def decode_fn(gparams, mel):
                 wav = vocoder.vocoder.generator.apply({"params": gparams}, mel)
                 return wav[:, : T * hop]
 
-            self._infer_cache[key] = (jax.jit(sample_fn), jax.jit(decode_fn))
+            self._infer_cache[key] = jax.jit(serve_fn)
 
-        sample_fn, decode_fn = self._infer_cache[key]
-        mel = sample_fn(self.diffusion.params, units, spk_id, rng)
-        return decode_fn(self.vocoder.vocoder.generator_params, mel)
+        return self._infer_cache[key](
+            self.diffusion.params, self.vocoder.vocoder.generator_params, units, spk_id, rng
+        )
 
     def mel2wav(self, mel: jnp.ndarray) -> jnp.ndarray:
         return self.vocoder.infer(mel)

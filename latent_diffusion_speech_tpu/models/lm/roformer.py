@@ -146,6 +146,7 @@ class Attention(nn.Module):
         kv_override=None,
         kv_only=False,
         deterministic=True,
+        rotary_sincos=None,
     ):
         """Returns (out, new_cache). kv_source != None -> cross attention.
 
@@ -220,6 +221,7 @@ class Layer(nn.Module):
         deterministic=True,
         cross_kv=None,
         cross_kv_only=False,
+        rotary_sincos=None,
     ):
         eps = self.cfg.layer_norm_eps
         if cross_kv_only:
@@ -230,6 +232,7 @@ class Layer(nn.Module):
         h, new_cache = Attention(self.cfg, dtype=self.dtype, name="self_attn")(
             x, mask=self_mask, is_causal=is_causal, positions=positions,
             cache=cache, cache_index=cache_index, deterministic=deterministic,
+            rotary_sincos=rotary_sincos,
         )
         x = nn.LayerNorm(epsilon=eps, name="self_ln")(x + drop(h))
 
@@ -330,13 +333,24 @@ class Roformer(nn.Module):
             for layer in self.decoder_layers
         ]
 
-    def decode_step(self, token, pos, caches, enc_states, cross_mask=None, cross_kvs=None):
+    def decode_step(self, token, pos, caches, enc_states, cross_mask=None, cross_kvs=None,
+                    rotary_tables=None):
         """One decode step. token (B,), pos scalar, caches: list per layer.
+        rotary_tables: optional precomputed (max_len, D) sin/cos — turns the
+        per-step rotary transcendentals into one gather (the tables are
+        loop-invariant and live outside the decode scan).
         Returns (logits (B, V), new_caches)."""
         x = self.semantic_embed(token[:, None]) + self.dec_type_embed(jnp.zeros_like(token[:, None]))
         x = self.dec_emb_ln(x)
         cm = cross_mask[:, None, None, :].astype(bool) if cross_mask is not None else None
         positions = jnp.asarray([pos])
+        rot = None
+        if rotary_tables is not None:
+            sin_t, cos_t = rotary_tables
+            rot = (
+                jax.lax.dynamic_slice_in_dim(sin_t, pos, 1, axis=0),
+                jax.lax.dynamic_slice_in_dim(cos_t, pos, 1, axis=0),
+            )
         if cross_kvs is None:
             cross_kvs = [None] * len(self.decoder_layers)
         new_caches = []
@@ -344,6 +358,7 @@ class Roformer(nn.Module):
             x, new_cache = layer(
                 x, enc_states=enc_states, cross_mask=cm,
                 positions=positions, cache=cache, cache_index=pos, cross_kv=ckv,
+                rotary_sincos=rot,
             )
             new_caches.append(new_cache)
         return self._lm_head(x)[:, 0], new_caches
@@ -414,11 +429,14 @@ class RoformerSystem:
         cross_kvs = self.module.apply(
             {"params": params}, enc, method=self.module.compute_cross_kv
         )
+        head_dim = self.cfg.decoder.hidden_size // self.cfg.decoder.num_attention_heads
+        rotary_tables = rotary_sin_cos(jnp.arange(max_len), head_dim)
 
         def step_fn(carry, token, pos):
             caches = carry
             logits, caches = self.module.apply(
                 {"params": params}, token, pos, caches, enc, enc_mask, cross_kvs,
+                rotary_tables,
                 method=self.module.decode_step,
             )
             return caches, logits
