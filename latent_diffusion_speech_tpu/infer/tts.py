@@ -26,7 +26,7 @@ from latent_diffusion_speech_tpu.models.diffusion import Unit2MelSystem
 from latent_diffusion_speech_tpu.models.lm.roformer import RoformerSystem
 from latent_diffusion_speech_tpu.models.vocoder import Vocoder
 from latent_diffusion_speech_tpu.ops.slicer import split_voiced
-from latent_diffusion_speech_tpu.ops.alignment import cross_fade
+from latent_diffusion_speech_tpu.ops.alignment import cross_fade, units_forced_alignment
 from latent_diffusion_speech_tpu.ops.volume import extract_volume, get_volume_mask
 from latent_diffusion_speech_tpu.quantize import EuclideanCodebook
 
@@ -219,8 +219,6 @@ class TTSPipeline:
             if units.ndim == 2:
                 units = units[None]
             # re-time to the latent grid of this segment
-            from latent_diffusion_speech_tpu.ops.alignment import units_forced_alignment
-
             n_frames = len(seg) * out_sr // sample_rate // hop
             units = units_forced_alignment(units, n_frames=max(n_frames, 1))
             wav = np.asarray(self.infer(units, spk_id=spk_id, method=method,

@@ -77,4 +77,6 @@ class TestNativeReader:
         t_numpy = time.perf_counter() - t0
 
         np.testing.assert_array_equal(out, ref)
-        assert t_native < t_numpy * 2.5  # loose bound; typically ~3-5x faster
+        # very loose bound (typically 3-5x faster); guards against the native
+        # path being pathologically slower without flaking under CI load
+        assert t_native < t_numpy * 5.0
