@@ -191,6 +191,67 @@ class TTSPipeline:
         wav = self.infer(units, spk_id=spk_id, method=method, infer_speedup=infer_speedup, rng=r2)
         return np.asarray(wav[0]), self.vocoder.vocoder_sample_rate
 
+    def tts_batch(
+        self,
+        texts,
+        language: str = "ZH",
+        spk_ids=None,
+        method: str = "dpm-solver",
+        infer_speedup: int = 50,
+        max_length: int = 1024,
+        top_k: int = 5,
+        end_gate_threshold: Optional[float] = None,
+        seed: int = 0,
+        phone_bucket: int = 16,
+    ):
+        """Batched serve: N texts -> list of (waveform, sample_rate).
+
+        Phones are padded to a shared bucket with encoder attention masks;
+        the LM decodes all sequences in one scan; diffusion+vocoder run per
+        generated length bucket.  Throughput path for production serving
+        (the B=1 `tts` is the latency path)."""
+        assert self.lm is not None and self.codebook is not None
+        B = len(texts)
+        seqs = [self.text_to_phones(t, language) for t in texts]
+        L = max(len(p) for p, _ in seqs)
+        L = max(phone_bucket, ((L + phone_bucket - 1) // phone_bucket) * phone_bucket)
+        pad_id = self.lm.cfg.phone_pad
+        phones = np.full((B, L), pad_id, np.int32)
+        tones = np.zeros((B, L), np.int32)
+        enc_mask = np.zeros((B, L), np.int32)
+        spk = np.asarray(spk_ids if spk_ids is not None else [1] * B, np.int32)
+        for b, (p, t) in enumerate(seqs):
+            phones[b, : len(p)] = p
+            tones[b, : len(t)] = t
+            enc_mask[b, : len(p)] = 1
+
+        rng = jax.random.PRNGKey(seed)
+        r1, r2 = jax.random.split(rng)
+        tokens, lengths = self.lm.generate(
+            jnp.asarray(phones), jnp.asarray(tones),
+            spk_id=jnp.asarray(spk)[:, None] * jnp.ones((1, L), jnp.int32),
+            attention_mask=jnp.asarray(enc_mask),
+            max_length=max_length, top_k=top_k,
+            end_gate_threshold=end_gate_threshold, rng=r1,
+        )
+        tokens_np = np.asarray(tokens)
+        lengths_np = np.asarray(lengths)
+        K = self.lm.cfg.semantic_kmeans_num
+
+        out = []
+        for b in range(B):
+            toks = tokens_np[b, : int(lengths_np[b])]
+            toks = toks[toks < K].astype(np.int32)
+            if len(toks) == 0:
+                out.append((np.zeros(0, np.float32), self.vocoder.vocoder_sample_rate))
+                continue
+            units = self.semantic_to_units(toks)
+            r2, sub = jax.random.split(r2)
+            wav = self.infer(units, spk_id=int(spk[b]), method=method,
+                             infer_speedup=infer_speedup, rng=sub)
+            out.append((np.asarray(wav[0]), self.vocoder.vocoder_sample_rate))
+        return out
+
     # -- long audio (SVC-style) ----------------------------------------------
 
     def infer_from_long_audio(

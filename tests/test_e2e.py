@@ -94,3 +94,22 @@ class TestLongAudio:
         assert out_sr == 8000
         assert len(wav) > 0
         assert np.isfinite(wav).all()
+
+
+class TestBatchedTTS:
+    def test_tts_batch(self, pipeline, monkeypatch, rng):
+        # bypass the text frontend (no G2P deps needed for this test)
+        def fake_phones(self, text, language="ZH"):
+            n = 4 + len(text) % 3
+            r = np.random.default_rng(len(text))
+            return r.integers(1, 50, n).astype(np.int32), r.integers(0, 6, n).astype(np.int32)
+
+        monkeypatch.setattr(type(pipeline), "text_to_phones", fake_phones)
+        outs = pipeline.tts_batch(
+            ["hello", "goodbye now"], spk_ids=[1, 2],
+            method="ddim", infer_speedup=25, max_length=8,
+        )
+        assert len(outs) == 2
+        for wav, sr in outs:
+            assert sr == 8000
+            assert np.isfinite(wav).all()
