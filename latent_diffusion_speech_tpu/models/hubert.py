@@ -139,3 +139,76 @@ class HubertSoft(Hubert):
         pad = (400 - 320) // 2
         wav = jnp.pad(wav, ((0, 0), (pad, pad)))
         return self.proj(self.encode(wav))
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint import (bshall hubert-soft/discrete releases,
+# ref model.py:12-16 URLS; TransformerEncoderLayer packs qkv in in_proj)
+# ---------------------------------------------------------------------------
+
+def hubert_params_from_torch(state) -> dict:
+    """Map a bshall Hubert state dict onto the flax `Hubert`/`HubertSoft` tree."""
+    import numpy as np
+
+    def _np(v):
+        return np.asarray(v.detach().cpu().float().numpy() if hasattr(v, "detach") else v, np.float32)
+
+    state = {k: _np(v) for k, v in state.items()}
+
+    def dense(name, bias=True):
+        p = {"kernel": state[f"{name}.weight"].T}
+        if bias and f"{name}.bias" in state:
+            p["bias"] = state[f"{name}.bias"]
+        return p
+
+    def ln(name):
+        return {"scale": state[f"{name}.weight"], "bias": state[f"{name}.bias"]}
+
+    params: dict = {
+        "fp_norm": ln("feature_projection.norm"),
+        "fp_proj": dense("feature_projection.projection"),
+        "norm": ln("norm"),
+        "proj": dense("proj"),
+        "masked_spec_embed": state["masked_spec_embed"],
+        "label_embedding": {"embedding": state["label_embedding.weight"]},
+    }
+
+    fe = {}
+    for i in range(7):
+        w = state[f"feature_extractor.conv{i}.weight"]  # (out, in, k)
+        fe[f"conv{i}"] = {"kernel": np.transpose(w, (2, 1, 0))}
+    fe["norm0"] = ln("feature_extractor.norm0")
+    params["feature_extractor"] = fe
+
+    # positional conv: weight-normed (parametrizations or weight_g/weight_v)
+    pe_prefix = "positional_embedding.conv"
+    if f"{pe_prefix}.parametrizations.weight.original0" in state:
+        g = state[f"{pe_prefix}.parametrizations.weight.original0"]
+        v = state[f"{pe_prefix}.parametrizations.weight.original1"]
+    else:
+        g = state[f"{pe_prefix}.weight_g"]
+        v = state[f"{pe_prefix}.weight_v"]
+    # torch weight_norm(dim=2) keeps the kernel axis: g is (1, 1, k) and the
+    # norm runs over (out, in) per kernel position
+    norm = np.sqrt(np.sum(v**2, axis=(0, 1), keepdims=True))
+    w = g * v / np.maximum(norm, 1e-12)  # (out, in_per_group, k)
+    params["positional_embedding"] = {
+        "conv": {"kernel": np.transpose(w, (2, 1, 0)), "bias": state[f"{pe_prefix}.bias"]}
+    }
+
+    for i in range(12):
+        b = f"encoder.layers.{i}"
+        in_w = state[f"{b}.self_attn.in_proj_weight"]  # (3C, C) packed qkv
+        in_b = state[f"{b}.self_attn.in_proj_bias"]
+        C = in_w.shape[1]
+        params[f"layer_{i}"] = {
+            "q": {"kernel": in_w[:C].T, "bias": in_b[:C]},
+            "k": {"kernel": in_w[C : 2 * C].T, "bias": in_b[C : 2 * C]},
+            "v": {"kernel": in_w[2 * C :].T, "bias": in_b[2 * C :]},
+            "out": dense(f"{b}.self_attn.out_proj"),
+            "norm1": ln(f"{b}.norm1"),
+            "norm2": ln(f"{b}.norm2"),
+            "ff1": dense(f"{b}.linear1"),
+            "ff2": dense(f"{b}.linear2"),
+        }
+    return params

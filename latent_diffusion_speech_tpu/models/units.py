@@ -76,9 +76,16 @@ class HubertSoftUnits:
 
         self.model = HubertSoft(dtype=dtype)
         if ckpt_path and Path(ckpt_path).exists():
-            raise NotImplementedError("hubert torch checkpoint import: planned")
-        probe = jnp.zeros((1, 960))
-        self.params = self.model.init(jax.random.PRNGKey(seed), probe)["params"]
+            import torch
+
+            from latent_diffusion_speech_tpu.models.hubert import hubert_params_from_torch
+
+            ck = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+            state = ck.get("hubert", ck.get("model", ck))  # bshall release layout
+            self.params = jax.tree_util.tree_map(jnp.asarray, hubert_params_from_torch(state))
+        else:
+            probe = jnp.zeros((1, 960))
+            self.params = self.model.init(jax.random.PRNGKey(seed), probe)["params"]
         self._units = jax.jit(
             lambda p, wav: self.model.apply({"params": p}, wav, method=self.model.units)
         )
