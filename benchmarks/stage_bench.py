@@ -1,0 +1,116 @@
+"""Per-stage benchmark suite (the BASELINE.json config list).
+
+Prints one JSON line per stage:
+1. mel + unit extraction on a 10 s 44.1 kHz clip (scripts 10/11 path)
+2. k-means semantic-token quantization over an utterance set
+3. latent denoiser: 1000-step DDPM vs 20-step DPM-Solver++ / UniPC
+4. RoFormer AR decode with KV cache
+5. full TTS serve (batched)
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/stage_bench.py
+(driver's headline metric lives in bench.py; this is the drill-down.)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, *args, n=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def emit(metric, seconds, unit="s", **detail):
+    print(json.dumps({"metric": metric, "value": round(seconds, 5), "unit": unit, **({"detail": detail} if detail else {})}), flush=True)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    clip10 = (rng.standard_normal(441000) * 0.1).astype(np.float32)  # 10 s @ 44.1k
+
+    # 1. mel + units on 10 s audio
+    from latent_diffusion_speech_tpu.models.units import UnitsEncoder
+    from latent_diffusion_speech_tpu.models.vaegan import HifiVAEGAN
+    from latent_diffusion_speech_tpu.ops.resample import resample
+
+    codec = HifiVAEGAN.random_init(dtype=jnp.bfloat16)
+    t = timed(lambda a: codec.extract(a, only_mean=True), jnp.asarray(clip10)[None])
+    emit("vae_latent_extract_10s", t, detail={"frames_per_s_audio": round(10.0 / t, 1)})
+
+    units_enc = UnitsEncoder("whisper_large_v3")  # random-init large-v3 geometry
+    audio16 = resample(jnp.asarray(clip10)[None], 44100, 16000)
+    t = timed(lambda a: units_enc.encode(a, 16000), audio16)
+    emit("whisper_units_extract_10s", t, detail={"xrt": round(10.0 / t, 1)})
+
+    # 2. k-means tokenization (30k frames x 1280 against 4096 centroids)
+    from latent_diffusion_speech_tpu.quantize import kmeans_predict
+
+    feats = rng.standard_normal((30000, 1280)).astype(np.float32)
+    centroids = rng.standard_normal((4096, 1280)).astype(np.float32)
+    t = timed(lambda x, c: kmeans_predict(x, c), jnp.asarray(feats), jnp.asarray(centroids))
+    emit("kmeans_tokenize_30k_frames", t, detail={"mframes_per_s": round(0.03 / t, 2)})
+
+    # 3. denoiser: 20-step solvers vs 1000-step DDPM (flagship UNet, T=448)
+    from latent_diffusion_speech_tpu.models.diffusion import Unit2MelConfig, Unit2MelSystem
+
+    system = Unit2MelSystem(Unit2MelConfig(), dtype=jnp.bfloat16)
+    units = jnp.asarray(rng.standard_normal((1, 448, 1280)).astype(np.float32))
+    spk = jnp.ones((1, 1), jnp.int32)
+
+    def sampler(method, speedup):
+        def fn(params, units, rng):
+            cond = system.module.apply({"params": params}, units, None, spk, None,
+                                       method=system.module.condition)
+            old = system._params_override
+            system._params_override = params
+            try:
+                return system.diffusion.sample(cond, rng, method=method, infer_speedup=speedup)
+            finally:
+                system._params_override = old
+        return jax.jit(fn)
+
+    for method, speedup, label in [("dpm-solver", 50, "dpmpp_20step"), ("unipc", 50, "unipc_20step"),
+                                   ("ddpm", 1, "ddpm_1000step")]:
+        fn = sampler(method, speedup)
+        t = timed(fn, system.params, units, jax.random.PRNGKey(0), n=3)
+        emit(f"denoiser_{label}_T448", t)
+
+    # 4. LM AR decode, 430 tokens
+    from latent_diffusion_speech_tpu.models.lm.roformer import RoformerConfig, RoformerSystem
+
+    lm = RoformerSystem(RoformerConfig(), dtype=jnp.bfloat16)
+    phones = jnp.asarray(rng.integers(1, 100, (1, 64)), jnp.int32)
+    tones = jnp.asarray(rng.integers(0, 6, (1, 64)), jnp.int32)
+    t = timed(lambda: lm.generate(phones, tones, spk_id=1, max_length=430,
+                                  rng=jax.random.PRNGKey(0))[0], n=3)
+    emit("lm_ar_decode_430_tokens", t, detail={"tokens_per_s": round(430 / t)})
+
+    # 5. full serve, batch of 4
+    from latent_diffusion_speech_tpu.infer import TTSPipeline
+    from latent_diffusion_speech_tpu.models.vocoder import Vocoder
+
+    pipe = TTSPipeline(system, Vocoder("hifi-vaegan", dtype=jnp.bfloat16), lm=lm,
+                       codebook=rng.standard_normal((4096, 1280)).astype(np.float32))
+    units_b = jnp.asarray(rng.standard_normal((4, 430, 1280)).astype(np.float32))
+    t = timed(lambda: pipe.infer(units_b, method="dpm-solver", infer_speedup=50,
+                                 rng=jax.random.PRNGKey(0)), n=3)
+    audio_s = 4 * 430 * 512 / 44100
+    emit("serve_units_to_wav_batch4", t, detail={"batched_rtf": round(t / audio_s, 5)})
+
+
+if __name__ == "__main__":
+    main()
