@@ -262,15 +262,25 @@ class TTSPipeline:
         method: str = "dpm-solver",
         infer_speedup: int = 50,
         threshold_db: float = -40.0,
+        mask_threshold_db: float = -60.0,
         seed: int = 0,
     ) -> Tuple[np.ndarray, int]:
-        """Slice long audio at silences, synthesize voiced segments, stitch
-        (`infer_tools.py:84-117`)."""
+        """Slice long audio at silences, synthesize voiced segments, gate each
+        by the source volume mask, stitch (`infer_tools.py:84-117`)."""
         assert self.units_encoder is not None, "long-audio path needs a units encoder"
         hop = self.vocoder.vocoder_hop_size
         out_sr = self.vocoder.vocoder_sample_rate
         segments = split_voiced(audio, sample_rate, hop, threshold_db=threshold_db)
         rng = jax.random.PRNGKey(seed)
+
+        # source-side volume mask at the output rate (ref infer_tools.py:89,106)
+        src = jnp.asarray(audio)
+        if sample_rate != out_sr:
+            from latent_diffusion_speech_tpu.ops.resample import resample as _rs
+
+            src = _rs(src, sample_rate, out_sr)
+        volume = extract_volume(src, hop)
+        mask = np.asarray(get_volume_mask(volume, hop, mask_threshold_db))[0]
 
         result = np.zeros(0, np.float32)
         current_length = 0
@@ -284,6 +294,10 @@ class TTSPipeline:
             units = units_forced_alignment(units, n_frames=max(n_frames, 1))
             wav = np.asarray(self.infer(units, spk_id=spk_id, method=method,
                                         infer_speedup=infer_speedup, rng=sub)[0])
+            # gate by the source volume mask window (ref infer_tools.py:106-108)
+            _left = start_frame * hop
+            win = mask[_left : _left + len(wav)]
+            wav[: len(win)] *= win
             silent_length = round(start_frame * hop * out_sr / sample_rate) - current_length
             if silent_length >= 0:
                 result = np.append(result, np.zeros(silent_length, np.float32))
