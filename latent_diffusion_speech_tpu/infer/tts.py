@@ -292,8 +292,8 @@ class TTSPipeline:
             # re-time to the latent grid of this segment
             n_frames = len(seg) * out_sr // sample_rate // hop
             units = units_forced_alignment(units, n_frames=max(n_frames, 1))
-            wav = np.asarray(self.infer(units, spk_id=spk_id, method=method,
-                                        infer_speedup=infer_speedup, rng=sub)[0])
+            wav = np.array(self.infer(units, spk_id=spk_id, method=method,
+                                      infer_speedup=infer_speedup, rng=sub)[0])
             # gate by the source volume mask window (ref infer_tools.py:106-108)
             _left = start_frame * hop
             win = mask[_left : _left + len(wav)]
