@@ -25,11 +25,25 @@ import numpy as np
 
 
 def timed(fn, *args, n=5):
-    out = fn(*args)
+    """Time fn with VARYING inputs per iteration: the serving relay memoizes
+    identical (program, inputs) executions, so repeating the same call
+    measures the cache, not the device."""
+    variants = []
+    for i in range(n):
+        new_args = []
+        for a in args:
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) and a.ndim > 0:
+                new_args.append(a + jnp.float32(1e-6 * (i + 1)).astype(a.dtype))
+            elif hasattr(a, "dtype") and a.shape == (2,) and a.dtype == jnp.uint32:
+                new_args.append(jax.random.fold_in(a, i))
+            else:
+                new_args.append(a)
+        variants.append(tuple(new_args))
+    out = fn(*variants[0])
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
+    for i in range(n):
+        out = fn(*variants[i])
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / n
 
@@ -95,8 +109,8 @@ def main():
     lm = RoformerSystem(RoformerConfig(), dtype=jnp.bfloat16)
     phones = jnp.asarray(rng.integers(1, 100, (1, 64)), jnp.int32)
     tones = jnp.asarray(rng.integers(0, 6, (1, 64)), jnp.int32)
-    t = timed(lambda: lm.generate(phones, tones, spk_id=1, max_length=430,
-                                  rng=jax.random.PRNGKey(0))[0], n=3)
+    t = timed(lambda ph: lm.generate(ph, tones, spk_id=1, max_length=430,
+                                     rng=jax.random.PRNGKey(0))[0], phones * 1, n=3)
     emit("lm_ar_decode_430_tokens", t, detail={"tokens_per_s": round(430 / t)})
 
     # 5. full serve, batch of 4
@@ -106,8 +120,8 @@ def main():
     pipe = TTSPipeline(system, Vocoder("hifi-vaegan", dtype=jnp.bfloat16), lm=lm,
                        codebook=rng.standard_normal((4096, 1280)).astype(np.float32))
     units_b = jnp.asarray(rng.standard_normal((4, 430, 1280)).astype(np.float32))
-    t = timed(lambda: pipe.infer(units_b, method="dpm-solver", infer_speedup=50,
-                                 rng=jax.random.PRNGKey(0)), n=3)
+    t = timed(lambda u: pipe.infer(u, method="dpm-solver", infer_speedup=50,
+                                   rng=jax.random.PRNGKey(0)), units_b, n=3)
     audio_s = 4 * 430 * 512 / 44100
     emit("serve_units_to_wav_batch4", t, detail={"batched_rtf": round(t / audio_s, 5)})
 
