@@ -36,6 +36,8 @@ def timed(fn, *args, n=5):
                 new_args.append(a + jnp.float32(1e-6 * (i + 1)).astype(a.dtype))
             elif hasattr(a, "dtype") and a.shape == (2,) and a.dtype == jnp.uint32:
                 new_args.append(jax.random.fold_in(a, i))
+            elif hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.integer) and a.ndim > 1:
+                new_args.append(a + (i % 3))  # shift ids slightly (stays in-vocab)
             else:
                 new_args.append(a)
         variants.append(tuple(new_args))
