@@ -132,6 +132,10 @@ class Unit2MelSystem:
         self._params_override = None
 
     def _denoise(self, x, t):
+        # `_params_override` threads explicit params through GaussianDiffusion's
+        # eps-closure during tracing (set/restored around each traced region;
+        # trace-time only, so compiled functions keep params as arguments).
+        # Not safe for concurrent tracing from multiple threads.
         params = self._params_override if self._params_override is not None else self.params
         return self.module.apply({"params": params}, x, t, method=self.module.denoise)
 
