@@ -55,8 +55,11 @@ def timed(fn, *args, n=5):
     return (time.perf_counter() - t0) / n
 
 
-def emit(metric, seconds, unit="s", **detail):
-    print(json.dumps({"metric": metric, "value": round(seconds, 5), "unit": unit, **({"detail": detail} if detail else {})}), flush=True)
+def emit(metric, seconds, unit="s", detail=None):
+    rec = {"metric": metric, "value": round(seconds, 5), "unit": unit}
+    if detail:
+        rec["detail"] = detail
+    print(json.dumps(rec), flush=True)
 
 
 def main():

@@ -163,12 +163,26 @@ class UnitsEncoder:
         self.encoder_sample_rate = encoder_sample_rate
         self.encoder_hop_size = encoder_hop_size
 
-    def encode(self, audio: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
-        """Audio (B, T) or (T,) at `sample_rate` -> units (B, T_units, C)."""
+    def encode(
+        self, audio: jnp.ndarray, sample_rate: int, pad_to_bucket: bool = True
+    ) -> jnp.ndarray:
+        """Audio (B, T) or (T,) at `sample_rate` -> units (B, T_units, C).
+
+        Lengths are padded to half-second buckets (outputs cropped to the true
+        frame count) so variable-length inputs — e.g. the long-audio SVC path's
+        segments — reuse a bounded set of compiled programs."""
         if audio.ndim == 1:
             audio = audio[None]
         if sample_rate != self.encoder_sample_rate:
             audio = resample(audio, sample_rate, self.encoder_sample_rate)
         if audio.shape[-1] < 400:  # ref tools/tools.py:96-97
             audio = jnp.pad(audio, ((0, 0), (0, 400 - audio.shape[-1])))
-        return self.model(audio)
+        T = audio.shape[-1]
+        true_frames = T // self.encoder_hop_size
+        if pad_to_bucket:
+            step = self.encoder_sample_rate // 2
+            padded = max(step, ((T + step - 1) // step) * step)
+            if padded != T:
+                audio = jnp.pad(audio, ((0, 0), (0, padded - T)))
+        units = self.model(audio)
+        return units[:, :true_frames]
