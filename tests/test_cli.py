@@ -101,3 +101,39 @@ class TestBatchPreprocess:
         assert units.shape[0] == 1600 // 320
         mel = np.load(audio_tree / "mel" / "alice" / "0.wav.npy")
         assert mel.shape[0] == 1600 // 512
+
+
+class TestRealPreprocess:
+    def test_units_and_mel_stages_with_tiny_models(self, audio_tree):
+        """Stage 10/11 functions with real (tiny) encoders over real wavs."""
+        import jax.numpy as jnp
+
+        from latent_diffusion_speech_tpu.cli.preprocess_mel import process_mels
+        from latent_diffusion_speech_tpu.cli.preprocess_unit import process_units
+        from latent_diffusion_speech_tpu.models.units import UnitsEncoder
+        from latent_diffusion_speech_tpu.models.vaegan import VAEGANConfig
+        from latent_diffusion_speech_tpu.models.vaegan.codec import HifiVAEGAN
+        from latent_diffusion_speech_tpu.models.vocoder import Vocoder
+        from latent_diffusion_speech_tpu.models.whisper import WhisperDims
+
+        tiny_dims = WhisperDims(n_mels=16, n_audio_ctx=100, n_audio_state=16,
+                                n_audio_head=2, n_audio_layer=1)
+        encoder = UnitsEncoder("whisper_large_v3", encoder_sample_rate=8000,
+                               encoder_hop_size=320, dims=tiny_dims, dtype=jnp.float32)
+        results = list(process_units(audio_tree, encoder, 8000, device_sr=8000))
+        assert len(results) == 8
+        units = np.load(audio_tree / "units" / "alice" / "0.wav.npy")
+        assert units.shape == (1600 // 320, 16)
+
+        vocoder = Vocoder("hifi-vaegan")
+        vocoder.vocoder = HifiVAEGAN.random_init(VAEGANConfig(
+            sampling_rate=8000, inter_channels=4, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),), upsample_rates=(4, 2),
+            upsample_initial_channel=8, upsample_kernel_sizes=(8, 4),
+        ))
+        results = list(process_mels(audio_tree, vocoder, 8000))
+        assert len(results) == 8
+        mel = np.load(audio_tree / "mel" / "alice" / "0.wav.npy")
+        assert mel.shape == (1600 // 8, 8)  # (frames, 2*inter_channels)
+        aug = np.load(audio_tree / "aug_mel" / "alice" / "0.wav.npy")
+        assert aug.shape == mel.shape
