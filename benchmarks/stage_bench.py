@@ -99,12 +99,7 @@ def main():
         def fn(params, units, rng):
             cond = system.module.apply({"params": params}, units, None, spk, None,
                                        method=system.module.condition)
-            old = system._params_override
-            system._params_override = params
-            try:
-                return system.diffusion.sample(cond, rng, method=method, infer_speedup=speedup)
-            finally:
-                system._params_override = old
+            return system.diffusion.sample(params, cond, rng, method=method, infer_speedup=speedup)
         return jax.jit(fn)
 
     for method, speedup, label in [("dpm-solver", 50, "dpmpp_20step"), ("unipc", 50, "unipc_20step"),

@@ -130,6 +130,7 @@ class DiffusionDataset:
     def _probe_all(self, reader):
         """Probe (mel_rows, unit_rows, dims) per path once; drop unusable files."""
         self._probed = {}
+        self._probed_aug = {}
         usable = []
         for p in self.paths:
             try:
@@ -141,6 +142,15 @@ class DiffusionDataset:
                 continue
             self._probed[p] = (mel_rows, mel_row_bytes // 8, unit_rows, unit_row_bytes // 4)
             usable.append(p)
+            if self.use_aug:
+                try:
+                    aug_rows, aug_row_bytes, _ = reader.probe(
+                        str(self.root / "aug_mel" / p) + ".npy"
+                    )
+                    if aug_rows >= self.frame_len + 2:
+                        self._probed_aug[p] = (aug_rows, aug_row_bytes // 8)
+                except OSError:
+                    pass
         self._fast_paths = usable
 
     def fast_batch(self, indices, reader=None) -> Dict[str, np.ndarray]:
@@ -159,25 +169,41 @@ class DiffusionDataset:
             return self.batch(indices)
 
         F = self.frame_len
-        names = [self._fast_paths[i % len(self._fast_paths)] for i in indices]
+        # preserve the sampler's index->item mapping: each dataset index maps to
+        # its own path; only unusable paths are re-drawn uniformly from the
+        # usable pool (matches batch()'s skip-and-advance semantics in law)
+        probed = self._probed
+        names = [
+            self.paths[i] if self.paths[i] in probed
+            else self._fast_paths[int(self.rng.integers(0, len(self._fast_paths)))]
+            for i in indices
+        ]
         mel_dim = self._probed[names[0]][1]  # latent C (probe stores bytes//8 = C)
         unit_dim = self._probed[names[0]][3]
 
+        # per-item 50% aug_mel draw (reference data_loaders.py aug parity)
+        kinds = [
+            "aug_mel"
+            if (self.use_aug and name in self._probed_aug and self.rng.random() < 0.5)
+            else "mel"
+            for name in names
+        ]
+
         # choose crops; units read window sized by the worst-case ratio
         mel_paths, unit_paths, mel_starts, unit_starts = [], [], [], []
-        ratios, starts = [], []
         count_u = 0
         metas = []
-        for name in names:
-            mel_rows, _, unit_rows, _ = self._probed[name]
+        for name, kind in zip(names, kinds):
+            _, _, unit_rows, _ = self._probed[name]
+            mel_rows = self._probed_aug[name][0] if kind == "aug_mel" else self._probed[name][0]
             s = int(self.rng.integers(0, max(mel_rows - F, 1)))
             ratio = unit_rows / mel_rows
             metas.append((name, s, mel_rows, unit_rows, ratio))
             count_u = max(count_u, int(np.ceil((F + 1) * ratio)) + 1)
-        for name, s, mel_rows, unit_rows, ratio in metas:
+        for (name, s, mel_rows, unit_rows, ratio), kind in zip(metas, kinds):
             u_start = int(np.floor(s * ratio))
             u_start = min(u_start, max(unit_rows - count_u, 0))
-            mel_paths.append(str(self.root / "mel" / name) + ".npy")
+            mel_paths.append(str(self.root / kind / name) + ".npy")
             unit_paths.append(str(self.root / "units" / name) + ".npy")
             mel_starts.append(s)
             unit_starts.append(u_start)

@@ -88,8 +88,9 @@ class DataLoader:
             try:
                 for indices in self._batches():
                     q.put(self._make_batch(indices))
-            finally:
-                q.put(sentinel)
+            except BaseException as e:  # noqa: BLE001 — re-raised in the consumer
+                q.put(e)
+            q.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -97,4 +98,7 @@ class DataLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                # a failed batch must fail the epoch, not silently truncate it
+                raise item
             yield item

@@ -1,13 +1,15 @@
 """ctypes binding to the native npy batch reader (data/native/npy_batch.cc).
 
-Builds the shared library on first use (g++ -O3, cached next to the source);
-falls back to numpy if no compiler is available.  The GIL is released for the
-entire batch read, so the trainer's host thread keeps feeding the TPU.
+Builds the shared library on first use (g++ -O3, cached keyed on a source
+hash so a stale or foreign binary is never dlopen'd); falls back to numpy if
+no compiler is available.  The GIL is released for the entire batch read, so
+the trainer's host thread keeps feeding the TPU.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import subprocess
 import threading
 from pathlib import Path
@@ -18,25 +20,34 @@ import numpy as np
 __all__ = ["NativeNpyReader", "native_available"]
 
 _SRC = Path(__file__).parent / "native" / "npy_batch.cc"
-_SO = Path(__file__).parent / "native" / "libnpy_batch.so"
 _build_lock = threading.Lock()
 
 _DTYPES = {b"f": np.float32, b"e": np.float16, b"i": np.int32, b"q": np.int64}
 
 
+def _so_path() -> Path:
+    # cache keyed on the source hash: a rebuilt source always gets a fresh
+    # binary, and checkout-mtime artifacts can't mask a failed rebuild
+    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    return _SRC.parent / f"libnpy_batch.{digest}.so"
+
+
 def _build() -> Optional[Path]:
-    if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
-        return _SO
+    so = _so_path()
+    if so.exists():
+        return so
     with _build_lock:
-        if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
-            return _SO
+        if so.exists():
+            return so
         try:
+            tmp = so.with_suffix(".so.tmp")
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
-                 str(_SRC), "-o", str(_SO)],
+                 str(_SRC), "-o", str(tmp)],
                 check=True, capture_output=True,
             )
-            return _SO
+            tmp.replace(so)  # atomic: concurrent builders race safely
+            return so
         except (OSError, subprocess.CalledProcessError):
             return None
 

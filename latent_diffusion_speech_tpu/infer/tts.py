@@ -133,14 +133,9 @@ class TTSPipeline:
                     {"params": dparams}, units, None, spk, None,
                     method=diffusion.module.condition,
                 )
-                old = diffusion._params_override
-                diffusion._params_override = dparams
-                try:
-                    mel = diffusion.diffusion.sample(
-                        cond, rng, method=method, infer_speedup=infer_speedup
-                    )
-                finally:
-                    diffusion._params_override = old
+                mel = diffusion.diffusion.sample(
+                    dparams, cond, rng, method=method, infer_speedup=infer_speedup
+                )
                 wav = vocoder.vocoder.generator.apply({"params": gparams}, mel)
                 return wav[:, : T * hop]
 
@@ -294,8 +289,10 @@ class TTSPipeline:
             units = units_forced_alignment(units, n_frames=max(n_frames, 1))
             wav = np.array(self.infer(units, spk_id=spk_id, method=method,
                                       infer_speedup=infer_speedup, rng=sub)[0])
-            # gate by the source volume mask window (ref infer_tools.py:106-108)
-            _left = start_frame * hop
+            # gate by the source volume mask window (ref infer_tools.py:106-108);
+            # the mask lives on the output-rate grid, so rescale the source-rate
+            # frame offset by out_sr/sample_rate to index it
+            _left = round(start_frame * hop * out_sr / sample_rate)
             win = mask[_left : _left + len(wav)]
             wav[: len(win)] *= win
             silent_length = round(start_frame * hop * out_sr / sample_rate) - current_length

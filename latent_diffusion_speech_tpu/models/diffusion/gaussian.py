@@ -45,7 +45,11 @@ class GaussianDiffusion:
         acoustic_scale: float = 1.0,
         pad_multiple: int = 8,
     ):
-        """denoise_fn: ([x_t ++ cond] (B, T, M+H), t (B,)) -> eps (B, T, M)."""
+        """denoise_fn: (params, [x_t ++ cond] (B, T, M+H), t (B,)) -> eps (B, T, M).
+
+        Params are threaded explicitly through `p_losses`/`sample` so jitted
+        callers keep them as arguments (closures would bake weights into the
+        HLO as constants)."""
         self.denoise_fn = denoise_fn
         self.out_dims = out_dims
         self.k_step = k_step
@@ -65,14 +69,15 @@ class GaussianDiffusion:
         b = jnp.asarray(s.sqrt_one_minus_alphas_cumprod)[t][:, None, None]
         return a * x_start + b * noise
 
-    def _eps_fn(self, cond: jnp.ndarray):
+    def _eps_fn(self, params, cond: jnp.ndarray):
         def fn(x, t):
-            return self.denoise_fn(jnp.concatenate([x, cond.astype(x.dtype)], axis=-1), t)
+            return self.denoise_fn(params, jnp.concatenate([x, cond.astype(x.dtype)], axis=-1), t)
 
         return fn
 
     def p_losses(
         self,
+        params,
         gt_spec: jnp.ndarray,
         cond: jnp.ndarray,
         rng: jax.Array,
@@ -89,7 +94,7 @@ class GaussianDiffusion:
         x_noisy = self.q_sample(x_start, t, noise)
 
         x_noisy, cond, orig_T = self._pad(x_noisy, cond)
-        eps_hat = self._eps_fn(cond)(x_noisy, t)[:, :orig_T]
+        eps_hat = self._eps_fn(params, cond)(x_noisy, t)[:, :orig_T]
         noise = noise[:, :orig_T]
 
         if loss_type == "l1":
@@ -110,6 +115,7 @@ class GaussianDiffusion:
 
     def sample(
         self,
+        params,
         cond: jnp.ndarray,
         rng: jax.Array,
         method: str = "unipc",
@@ -135,7 +141,7 @@ class GaussianDiffusion:
             x = self.q_sample(norm, t0, noise)
 
         x, cond_p, orig_T = self._pad(x, cond)
-        eps_fn = self._eps_fn(cond_p)
+        eps_fn = self._eps_fn(params, cond_p)
 
         if method is None or infer_speedup <= 1:
             rng, sub = jax.random.split(rng)

@@ -129,14 +129,8 @@ class Unit2MelSystem:
             acoustic_scale=cfg.acoustic_scale,
             pad_multiple=2 ** (len(cfg.block_out_channels) - 1),
         )
-        self._params_override = None
 
-    def _denoise(self, x, t):
-        # `_params_override` threads explicit params through GaussianDiffusion's
-        # eps-closure during tracing (set/restored around each traced region;
-        # trace-time only, so compiled functions keep params as arguments).
-        # Not safe for concurrent tracing from multiple threads.
-        params = self._params_override if self._params_override is not None else self.params
+    def _denoise(self, params, x, t):
         return self.module.apply({"params": params}, x, t, method=self.module.denoise)
 
     def condition(self, units, volume=None, spk_id=None, aug_shift=None, params=None):
@@ -147,12 +141,8 @@ class Unit2MelSystem:
 
     def loss(self, params, units, gt_spec, rng, volume=None, spk_id=None, aug_shift=None, k_step=None):
         """Differentiable training loss wrt params."""
-        self._params_override = params
-        try:
-            cond = self.condition(units, volume, spk_id, aug_shift, params=params)
-            return self.diffusion.p_losses(gt_spec, cond, rng, k_step=k_step)
-        finally:
-            self._params_override = None
+        cond = self.condition(units, volume, spk_id, aug_shift, params=params)
+        return self.diffusion.p_losses(params, gt_spec, cond, rng, k_step=k_step)
 
     def infer(
         self,
@@ -165,8 +155,11 @@ class Unit2MelSystem:
         infer_speedup: int = 10,
         gt_spec=None,
         k_step=None,
+        params=None,
     ):
-        cond = self.condition(units, volume, spk_id, aug_shift)
+        params = params if params is not None else self.params
+        cond = self.condition(units, volume, spk_id, aug_shift, params=params)
         return self.diffusion.sample(
-            cond, rng, method=method, infer_speedup=infer_speedup, k_step=k_step, gt_spec=gt_spec
+            params, cond, rng, method=method, infer_speedup=infer_speedup,
+            k_step=k_step, gt_spec=gt_spec,
         )

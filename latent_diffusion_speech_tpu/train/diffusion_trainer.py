@@ -205,7 +205,9 @@ class DiffusionTrainer:
             batch = self.device_put_batch(batch)
             rng, r1, r2 = jax.random.split(rng, 3)
             units = batch["units"]
-            if self.quantizer is not None:
+            if self._vq is not None:
+                units, _, _, _ = self._vq(self.vq_state, units, train=False)
+            elif self.quantizer is not None:
                 units = self.quantizer(units)
             loss = self.system.loss(
                 self.system.params, units, batch["mel"], r1, spk_id=batch["spk_id"]
@@ -278,6 +280,9 @@ class DiffusionTrainer:
                         )
                 if self.step % tcfg.interval_val == 0:
                     self.save()
+                    if val_loader is not None:
+                        rng, vr = jax.random.split(rng)
+                        self.validate_full(val_loader, vr, logger=logger)
                 if max_steps and self.step >= max_steps:
                     self.save()
                     return

@@ -133,13 +133,13 @@ class TestSamplers:
 
     def _gd(self, T=64, M=4):
         eps = _IdentityEps()
-        gd = GaussianDiffusion(lambda x, t: eps(x[..., :M], t), out_dims=M, pad_multiple=8)
+        gd = GaussianDiffusion(lambda params, x, t: eps(x[..., :M], t), out_dims=M, pad_multiple=8)
         return gd
 
     def test_ddim_zero_eps_analytic(self):
         gd = self._gd()
         cond = jnp.zeros((1, 16, 3))
-        out = gd.sample(cond, jax.random.PRNGKey(0), method="ddim", infer_speedup=100)
+        out = gd.sample(None, cond, jax.random.PRNGKey(0), method="ddim", infer_speedup=100)
         # zero eps => x0 = x_T / sqrt(ac at last grid step); finite + same shape
         assert out.shape == (1, 16, 4)
         assert bool(jnp.isfinite(out).all())
@@ -149,7 +149,7 @@ class TestSamplers:
         gd = self._gd()
         cond = jnp.zeros((2, 24, 3))
         speedup = 250 if method != "ddpm" else 1
-        out = gd.sample(cond, jax.random.PRNGKey(1), method=method, infer_speedup=speedup)
+        out = gd.sample(None, cond, jax.random.PRNGKey(1), method=method, infer_speedup=speedup)
         assert out.shape == (2, 24, 4)
         assert bool(jnp.isfinite(out).all())
 
@@ -158,7 +158,7 @@ class TestSamplers:
         cond = jnp.zeros((1, 16, 3))
         gt = jnp.ones((1, 16, 4))
         out = gd.sample(
-            cond, jax.random.PRNGKey(0), method="ddim", infer_speedup=50,
+            None, cond, jax.random.PRNGKey(0), method="ddim", infer_speedup=50,
             gt_spec=gt, k_step=100,
         )
         assert out.shape == (1, 16, 4)

@@ -13,7 +13,7 @@ from latent_diffusion_speech_tpu.models.diffusion import GaussianDiffusion
 
 class TestShallowDiffusion:
     def _gd(self):
-        return GaussianDiffusion(lambda x, t: jnp.zeros_like(x[..., :4]), out_dims=4, pad_multiple=8)
+        return GaussianDiffusion(lambda params, x, t: jnp.zeros_like(x[..., :4]), out_dims=4, pad_multiple=8)
 
     @pytest.mark.parametrize("method", ["dpm-solver", "unipc", "pndm"])
     def test_fast_solvers_with_k_step(self, method):
@@ -21,7 +21,7 @@ class TestShallowDiffusion:
         cond = jnp.zeros((1, 16, 3))
         gt = jnp.ones((1, 16, 4)) * 0.3
         out = gd.sample(
-            cond, jax.random.PRNGKey(0), method=method, infer_speedup=20,
+            None, cond, jax.random.PRNGKey(0), method=method, infer_speedup=20,
             gt_spec=gt, k_step=100,
         )
         assert out.shape == (1, 16, 4)
