@@ -100,15 +100,17 @@ class TTSPipeline:
     def infer(
         self,
         units: jnp.ndarray,
-        spk_id: int = 1,
+        spk_id=1,
         method: str = "dpm-solver",
         infer_speedup: int = 50,
         rng: Optional[jax.Array] = None,
         pad_to_bucket: bool = True,
     ) -> jnp.ndarray:
-        """units (1, T, D) -> waveform (1, T*hop). One XLA program end-to-end,
+        """units (B, T, D) -> waveform (B, T*hop). One XLA program end-to-end,
         with zero eager ops between host and the compiled calls (each eager op
-        is a device round-trip; they dominated serve latency)."""
+        is a device round-trip; they dominated serve latency).
+
+        spk_id: a scalar, or a (B,) array for per-item speakers."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         T = units.shape[1]
         padded_T = _bucket(T) if pad_to_bucket else T
@@ -128,7 +130,9 @@ class TTSPipeline:
                     units = jnp.pad(
                         units, ((0, 0), (0, padded_T - units.shape[1]), (0, 0)), mode="edge"
                     )
-                spk = jnp.full((units.shape[0], 1), spk_id, jnp.int32)
+                spk = jnp.broadcast_to(
+                    jnp.asarray(spk_id, jnp.int32).reshape(-1, 1), (units.shape[0], 1)
+                )
                 cond = diffusion.module.apply(
                     {"params": dparams}, units, None, spk, None,
                     method=diffusion.module.condition,
@@ -142,7 +146,11 @@ class TTSPipeline:
             self._infer_cache[key] = jax.jit(serve_fn)
 
         return self._infer_cache[key](
-            self.diffusion.params, self.vocoder.vocoder.generator_params, units, spk_id, rng
+            self.diffusion.params,
+            self.vocoder.vocoder.generator_params,
+            units,
+            np.asarray(spk_id, np.int32),
+            rng,
         )
 
     def mel2wav(self, mel: jnp.ndarray) -> jnp.ndarray:
@@ -201,10 +209,12 @@ class TTSPipeline:
     ):
         """Batched serve: N texts -> list of (waveform, sample_rate).
 
-        Phones are padded to a shared bucket with encoder attention masks;
-        the LM decodes all sequences in one scan; diffusion+vocoder run per
-        generated length bucket.  Throughput path for production serving
-        (the B=1 `tts` is the latency path)."""
+        Phones are padded to a shared bucket with encoder attention masks and
+        the LM decodes all sequences in one scan.  Generated sequences are then
+        grouped by latent-length bucket and diffusion+vocoder run ONCE per
+        bucket (batched: one compiled call, B items), each item edge-padded to
+        the bucket and cropped back on host.  Throughput path for production
+        serving (the B=1 `tts` is the latency path)."""
         assert self.lm is not None and self.codebook is not None
         B = len(texts)
         seqs = [self.text_to_phones(t, language) for t in texts]
@@ -232,19 +242,38 @@ class TTSPipeline:
         tokens_np = np.asarray(tokens)
         lengths_np = np.asarray(lengths)
         K = self.lm.cfg.semantic_kmeans_num
+        sr = self.vocoder.vocoder_sample_rate
+        hop = self.vocoder.vocoder_hop_size
+        centroids = np.asarray(self.codebook.codebook)
 
-        out = []
+        # group generated sequences by latent-length bucket; diffusion+vocoder
+        # run once per bucket as one batched compiled call
+        out = [None] * B
+        buckets: dict = {}
         for b in range(B):
             toks = tokens_np[b, : int(lengths_np[b])]
             toks = toks[toks < K].astype(np.int32)
             if len(toks) == 0:
-                out.append((np.zeros(0, np.float32), self.vocoder.vocoder_sample_rate))
+                out[b] = (np.zeros(0, np.float32), sr)
                 continue
-            units = self.semantic_to_units(toks)
+            buckets.setdefault(_bucket(len(toks)), []).append((b, toks))
+
+        for Lb, items in sorted(buckets.items()):
+            units = np.empty((len(items), Lb, centroids.shape[1]), np.float32)
+            for j, (_, toks) in enumerate(items):
+                emb = centroids[toks]
+                units[j, : len(toks)] = emb
+                units[j, len(toks):] = emb[-1]  # edge-pad to the bucket
             r2, sub = jax.random.split(r2)
-            wav = self.infer(units, spk_id=int(spk[b]), method=method,
-                             infer_speedup=infer_speedup, rng=sub)
-            out.append((np.asarray(wav[0]), self.vocoder.vocoder_sample_rate))
+            wavs = np.asarray(
+                self.infer(
+                    jnp.asarray(units),
+                    spk_id=np.asarray([int(spk[b]) for b, _ in items], np.int32),
+                    method=method, infer_speedup=infer_speedup, rng=sub,
+                )
+            )
+            for j, (b, toks) in enumerate(items):
+                out[b] = (wavs[j, : len(toks) * hop], sr)
         return out
 
     # -- long audio (SVC-style) ----------------------------------------------

@@ -105,6 +105,7 @@ class TestBatchedTTS:
             return r.integers(1, 50, n).astype(np.int32), r.integers(0, 6, n).astype(np.int32)
 
         monkeypatch.setattr(type(pipeline), "text_to_phones", fake_phones)
+        before = set(pipeline._infer_cache)
         outs = pipeline.tts_batch(
             ["hello", "goodbye now"], spk_ids=[1, 2],
             method="ddim", infer_speedup=25, max_length=8,
@@ -113,3 +114,41 @@ class TestBatchedTTS:
         for wav, sr in outs:
             assert sr == 8000
             assert np.isfinite(wav).all()
+        # diffusion+vocoder ran as ONE batched compiled call per length bucket:
+        # both items (<=8 tokens) share the min bucket -> exactly one new
+        # program, with batch dim 2
+        new = set(pipeline._infer_cache) - before
+        assert len(new) == 1
+        ((padded_T, T, B, method, speedup),) = new
+        assert B == 2 and padded_T == T and method == "ddim"
+
+    def test_tts_batch_crops_per_item(self, pipeline, monkeypatch, rng):
+        """Each item's waveform is cropped to its own token count * hop."""
+        import jax
+
+        def fake_phones(self, text, language="ZH"):
+            r = np.random.default_rng(len(text))
+            return r.integers(1, 50, 4).astype(np.int32), r.integers(0, 6, 4).astype(np.int32)
+
+        monkeypatch.setattr(type(pipeline), "text_to_phones", fake_phones)
+
+        class FakeLM:
+            cfg = pipeline.lm.cfg
+
+            def generate(self, phones, tones, **kw):
+                K = self.cfg.semantic_kmeans_num
+                toks = np.full((2, 16), K + 2, np.int64)  # PAD
+                toks[0, :3] = [1, 2, 3]
+                toks[1, :5] = [4, 5, 6, 7, 8]
+                return jax.numpy.asarray(toks), jax.numpy.asarray([3, 5])
+
+        real_lm = pipeline.lm
+        pipeline.lm = FakeLM()
+        try:
+            outs = pipeline.tts_batch(
+                ["ab", "abcd"], spk_ids=[1, 2], method="ddim", infer_speedup=25,
+            )
+        finally:
+            pipeline.lm = real_lm
+        assert len(outs[0][0]) == 3 * 8
+        assert len(outs[1][0]) == 5 * 8
