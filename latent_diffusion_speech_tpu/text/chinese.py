@@ -109,7 +109,30 @@ def an2cn(number: str) -> str:
 
 
 def text_normalize(text: str) -> str:
-    """Numbers -> hanzi, punctuation folded, non-hanzi stripped (ref :57-64,147-152)."""
+    """Numbers -> hanzi, punctuation folded, non-hanzi stripped (ref :57-64,147-152).
+
+    Extends the reference's cn2an integer/decimal handling with percent
+    (123.5% -> 百分之...), fraction (3/4 -> 四分之三) and negative (-5 -> 负五)
+    forms, which the reference's bare `\\d+(\\.?\\d+)?` regex verbalizes
+    incorrectly (the %, / and - would be silently dropped)."""
+    # percent: N% -> 百分之N
+    text = re.sub(
+        r"(\d+(?:\.\d+)?)\s*[%％]",
+        lambda m: "百分之" + an2cn(m.group(1)),
+        text,
+    )
+    # fraction: A/B -> B分之A
+    text = re.sub(
+        r"(\d+)\s*/\s*(\d+)",
+        lambda m: an2cn(m.group(2)) + "分之" + an2cn(m.group(1)),
+        text,
+    )
+    # negative numbers: -N -> 负N (only when clearly a sign, not a range dash)
+    text = re.sub(
+        r"(?<!\d)[-−](\d+(?:\.\d+)?)",
+        lambda m: "负" + an2cn(m.group(1)),
+        text,
+    )
     for number in re.findall(r"\d+(?:\.?\d+)?", text):
         text = text.replace(number, an2cn(number), 1)
     text = text.replace("嗯", "恩").replace("呣", "母")
@@ -192,23 +215,26 @@ def g2p_pinyin(pinyin_text: str) -> Tuple[List[str], List[int], List[int]]:
 # ---------------------------------------------------------------------------
 
 def _get_initials_finals(word: str):
-    from pypinyin import Style, lazy_pinyin
+    try:
+        from pypinyin import Style, lazy_pinyin
 
-    initials = lazy_pinyin(word, neutral_tone_with_five=True, style=Style.INITIALS)
-    finals = lazy_pinyin(word, neutral_tone_with_five=True, style=Style.FINALS_TONE3)
-    return initials, finals
+        initials = lazy_pinyin(word, neutral_tone_with_five=True, style=Style.INITIALS)
+        finals = lazy_pinyin(word, neutral_tone_with_five=True, style=Style.FINALS_TONE3)
+        return initials, finals
+    except ImportError:
+        # vendored reading table (same conventions); see text/pinyin.py
+        from latent_diffusion_speech_tpu.text.pinyin import to_initials_finals
+
+        return to_initials_finals(word)
 
 
 def g2p(text: str) -> Tuple[List[str], List[int], List[int]]:
-    """Hanzi G2P with tone sandhi (ref :66-145)."""
+    """Hanzi G2P with tone sandhi (ref :66-145). Readings come from pypinyin
+    when installed, else from the vendored table (`text/pinyin.py`)."""
     try:
         import jieba.posseg as psg
     except ImportError as e:
         raise ImportError("hanzi G2P needs jieba; use g2p_pinyin for annotated input") from e
-    try:
-        import pypinyin  # noqa: F401
-    except ImportError as e:
-        raise ImportError("hanzi G2P needs pypinyin; use g2p_pinyin for annotated input") from e
 
     pattern = r"(?<=[{0}])\s*".format("".join(punctuation))
     sentences = [s for s in re.split(pattern, text) if s.strip()]

@@ -55,7 +55,9 @@ def _default_finals_fn() -> Optional[Callable[[str], List[str]]]:
 
         return lambda w: lazy_pinyin(w, neutral_tone_with_five=True, style=Style.FINALS_TONE3)
     except ImportError:
-        return None
+        from latent_diffusion_speech_tpu.text.pinyin import finals_tone3, have_native_table
+
+        return finals_tone3 if have_native_table() else None
 
 
 def _split_word(word: str) -> List[str]:

@@ -176,3 +176,91 @@ class TestEndToEndSequence:
         assert all(l == 2 for l in langs)
         assert all(t >= 7 or t == 0 + 7 for t in tones) or True  # offsets applied
         assert max(tones) >= 7  # EN tone range starts at 7
+
+
+class TestNativeHanziG2P:
+    """Raw-hanzi ZH G2P with the vendored reading table — no pypinyin in the
+    environment (VERDICT round-1 item 6)."""
+
+    def test_pypinyin_absent(self):
+        import importlib.util
+
+        assert importlib.util.find_spec("pypinyin") is None, (
+            "these tests specifically exercise the no-pypinyin path"
+        )
+
+    def test_split_full_pinyin_strict_conventions(self):
+        from latent_diffusion_speech_tpu.text.pinyin import split_full_pinyin
+
+        assert split_full_pinyin("zhong1") == ("zh", "ong1")
+        assert split_full_pinyin("you3") == ("", "iou3")   # strict: you -> iou
+        assert split_full_pinyin("wei4") == ("", "uei4")   # strict: wei -> uei
+        assert split_full_pinyin("ju2") == ("j", "v2")     # j/q/x + u -> v
+        assert split_full_pinyin("quan2") == ("q", "van2")
+        assert split_full_pinyin("ying1") == ("", "ing1")
+        assert split_full_pinyin("lv4") == ("l", "v4")
+        assert split_full_pinyin("yue4") == ("", "ve4")
+        assert split_full_pinyin("er2") == ("", "er2")
+
+    def test_hanzi_g2p_basic(self):
+        from latent_diffusion_speech_tpu.text.chinese import g2p, text_normalize
+
+        phones, tones, word2ph = g2p(text_normalize("今天天气真好。"))
+        assert phones == ["j", "in", "t", "ian", "t", "ian", "q", "i", "zh", "en", "h", "ao", "."]
+        assert tones == [1, 1, 1, 1, 1, 1, 4, 4, 1, 1, 3, 3, 0]
+
+    def test_third_tone_sandhi_applies(self):
+        from latent_diffusion_speech_tpu.text.chinese import g2p
+
+        phones, tones, _ = g2p("你好")
+        assert phones == ["n", "i", "h", "ao"]
+        assert tones == [2, 2, 3, 3]  # 3-3 sandhi: ni3 -> ni2
+
+    def test_polyphone_word_overrides(self):
+        from latent_diffusion_speech_tpu.text.chinese import g2p
+
+        phones, tones, _ = g2p("银行")
+        assert phones == ["y", "in", "h", "ang"]
+        assert tones == [2, 2, 2, 2]  # hang2, not xing2
+        phones, tones, _ = g2p("音乐")
+        assert phones == ["y", "in", "y", "ve"]
+        assert tones == [1, 1, 4, 4]  # yue4, not le4
+
+    def test_tts_style_input_with_percent(self):
+        """The VERDICT done-criterion: tts('你好123.5%')-style input produces
+        phones with no optional deps installed."""
+        from latent_diffusion_speech_tpu.text import text_to_sequence
+
+        (phones, tones, langs), (norm, word2ph) = text_to_sequence("你好123.5%", "ZH")
+        assert "百分之" in norm
+        assert len(phones) == len(tones) == len(langs) > 8
+        assert all(isinstance(p, int) for p in phones)
+
+    def test_fraction_and_negative(self):
+        from latent_diffusion_speech_tpu.text.chinese import text_normalize
+
+        assert text_normalize("3/4") == "四分之三"
+        assert "负三点五" in text_normalize("-3.5度")
+        assert "百分之五十" in text_normalize("50%")
+
+    def test_table_syllables_all_resolve(self):
+        """Every vendored reading must survive the full opencpop rewrite."""
+        from latent_diffusion_speech_tpu.text.chinese import _pinyin_to_phones
+        from latent_diffusion_speech_tpu.text.pinyin import _tables, split_full_pinyin
+        from latent_diffusion_speech_tpu.text.symbols import symbols
+
+        chars, words = _tables()
+        assert len(chars) > 2000
+        syms = set(symbols)
+        for syl in set(chars.values()) | {s for v in words.values() for s in v}:
+            ph, tone = _pinyin_to_phones(*split_full_pinyin(syl))
+            assert all(p in syms for p in ph), syl
+
+    def test_tone_sandhi_merge_passes_active(self):
+        """finals_fn falls back to the native table, restoring the two merge
+        passes that need per-word finals."""
+        from latent_diffusion_speech_tpu.text.tone_sandhi import ToneSandhi
+
+        ts = ToneSandhi()
+        assert ts.finals_fn is not None
+        assert ts.finals_fn("好")[0][-1] == "3"
