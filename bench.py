@@ -1,11 +1,18 @@
 """End-to-end TTS serve benchmark on the flagship configuration.
 
-Measures real-time factor (RTF) of the full serve chain at 20-step
-DPM-Solver++ (the BASELINE.md north-star metric): RoFormer AR decode of the
-semantic sequence + 20-step latent diffusion + HiFi-VAEGAN decode, ~5 s of
-44.1 kHz audio.  Prints ONE JSON line:
-{"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}.
+Measures real-time factor (RTF) of the full *chained* serve path at 20-step
+DPM-Solver++ (the BASELINE.md north-star metric): real ZH text frontend
+(host) -> RoFormer AR decode -> generated tokens -> centroid embedding
+(device) -> 20-step latent diffusion -> HiFi-VAEGAN decode, ~5 s of 44.1 kHz
+audio.  The LM's generated tokens ARE the diffusion conditioning (clamped to
+the codebook on device); nothing in the chain runs on fixed stand-in inputs.
 
+Also emits the BASELINE.md metric suite: denoiser steps/s, vocoder
+mel-frames/s, and analytic MFU (XLA cost-analysis FLOPs / wall / peak) for
+both the serve chain and the flagship B=64 train step.
+
+Prints ONE JSON line:
+{"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "detail": {...}}.
 vs_baseline = target_rtf / measured_rtf (>1 means faster than the 0.05 target).
 """
 
@@ -27,6 +34,29 @@ import numpy as np
 TARGET_RTF = 0.05  # BASELINE.json: RTF <= 0.05 @ 20-step DPM-Solver++ on v5e-1
 N_TOKENS = 430     # ~4.99 s at 86.13 frames/s (44100 / 512)
 DIFFUSION_STEPS = 20
+TEXT = "今天天气真好,我们一起去公园散步,然后听音乐。"
+
+# bf16 peak FLOP/s by device kind (public figures)
+_PEAKS = [("v5 lite", 197e12), ("v5e", 197e12), ("v6", 918e12),
+          ("v5p", 459e12), ("v5", 459e12), ("v4", 275e12)]
+
+
+def peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peak in _PEAKS:
+        if sub in kind:
+            return peak
+    return None
+
+
+def compiled_flops(compiled) -> float | None:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
 
 
 def build_pipeline():
@@ -46,12 +76,23 @@ def build_pipeline():
 
 def main():
     pipe = build_pipeline()
-    rng = np.random.default_rng(1)
-    phones = jnp.asarray(rng.integers(1, 100, (1, 64)), jnp.int32)
-    tones = jnp.asarray(rng.integers(0, 6, (1, 64)), jnp.int32)
-    spk = jnp.ones((1, 64), jnp.int32)
-    tokens = jnp.asarray(rng.integers(0, 4096, (N_TOKENS,)), jnp.int32)
-    units = pipe.semantic_to_units(np.asarray(tokens))
+    K = pipe.lm.cfg.semantic_kmeans_num
+
+    # real text frontend (host): hanzi -> phones/tones via the vendored G2P
+    t0 = time.perf_counter()
+    phones_np, tones_np = pipe.text_to_phones(TEXT, "ZH")
+    t_frontend = time.perf_counter() - t0  # first call: includes jieba init
+    phones = jnp.asarray(phones_np[None])
+    tones = jnp.asarray(tones_np[None])
+    spk = jnp.ones_like(phones)
+
+    # generated tokens -> conditioning units, on device (BOS/EOS/PAD ids are
+    # clamped into the codebook; the serve path strips them on host, but the
+    # bench keeps a fixed shape so the work content is identical every call)
+    codebook_arr = jnp.asarray(pipe.codebook.codebook)
+    tokens_to_units = jax.jit(
+        lambda cb, toks: jnp.take(cb, jnp.minimum(toks, K - 1), axis=0)
+    )
 
     # NOTE on synchronization: through the axon relay, block_until_ready is a
     # no-op (async enqueue); only a data fetch synchronizes with execution.
@@ -62,17 +103,18 @@ def main():
             phones, tones, spk_id=spk, max_length=N_TOKENS,
             rng=jax.random.PRNGKey(seed),
         )
-        # 2. diffusion (20 steps DPM-Solver++) + 3. vocoder decode
+        # 2. the *generated* tokens become the diffusion conditioning
+        units = tokens_to_units(codebook_arr, toks[:, :N_TOKENS])
+        # 3. diffusion (20 steps DPM-Solver++) + 4. vocoder decode
         wav = pipe.infer(
             units, method="dpm-solver", infer_speedup=1000 // DIFFUSION_STEPS,
             rng=jax.random.PRNGKey(seed),
         )
         if sync:
-            np.asarray(toks[0, 0])
             np.asarray(wav[0, 0])
         return wav
 
-    # warmup / compile (incl. the sync slice programs)
+    # warmup / compile
     wav = serve_once(0)
     audio_seconds = wav.shape[-1] / 44100.0
 
@@ -87,31 +129,110 @@ def main():
 
     # pipelined throughput: enqueue K requests, sync once at the end
     # (single-device execution is in-order, so the final fetch waits for all)
-    K = 8
+    KREQ = 8
     t0 = time.perf_counter()
     last = None
-    for i in range(K):
+    for i in range(KREQ):
         last = serve_once(100 + i, sync=False)
     np.asarray(last[0, 0])
-    amortized_rtf = (time.perf_counter() - t0) / (K * audio_seconds)
+    amortized_rtf = (time.perf_counter() - t0) / (KREQ * audio_seconds)
 
-    # stage breakdown (scalar-fetch synced)
-    def time_stage(fn, n=2):
-        fn()  # warm
+    # ---- stage drill-down (scalar-fetch synced) -----------------------------
+    system = pipe.diffusion
+    units_fixed = tokens_to_units(
+        codebook_arr, jnp.asarray(np.random.default_rng(7).integers(0, K, (1, N_TOKENS)))
+    )
+    spk1 = jnp.ones((1, 1), jnp.int32)
+
+    def diffusion_only(params, units, rng):
+        cond = system.module.apply({"params": params}, units, None, spk1, None,
+                                   method=system.module.condition)
+        return system.diffusion.sample(params, cond, rng,
+                                       method="dpm-solver",
+                                       infer_speedup=1000 // DIFFUSION_STEPS)
+
+    diff_jit = jax.jit(diffusion_only)
+    mel = diff_jit(system.params, units_fixed, jax.random.PRNGKey(0))
+    np.asarray(mel[0, 0, 0])
+
+    voc = pipe.vocoder.vocoder
+    voc_jit = jax.jit(lambda gp, mel: voc.generator.apply({"params": gp}, mel))
+    _ = np.asarray(voc_jit(voc.generator_params, mel)[0, 0])
+
+    def time_fn(fn, n=3):
         vals = []
         for i in range(n):
             t0 = time.perf_counter()
-            fn(i)
+            out = fn(i)
+            np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
             vals.append(time.perf_counter() - t0)
         return min(vals)
 
-    t_lm = time_stage(lambda i=0: np.asarray(pipe.lm.generate(
-        phones, tones, spk_id=spk, max_length=N_TOKENS, rng=jax.random.PRNGKey(9 + i)
-    )[0][0, 0]))
-    t_diff_voc = time_stage(lambda i=0: np.asarray(pipe.infer(
-        units, method="dpm-solver", infer_speedup=1000 // DIFFUSION_STEPS,
-        rng=jax.random.PRNGKey(9 + i),
-    )[0, 0]))
+    t_lm = time_fn(lambda i: pipe.lm.generate(
+        phones, tones, spk_id=spk, max_length=N_TOKENS,
+        rng=jax.random.PRNGKey(9 + i))[0])
+    t_diff = time_fn(lambda i: diff_jit(system.params, units_fixed + 1e-6 * (i + 1),
+                                        jax.random.PRNGKey(9 + i)))
+    t_voc = time_fn(lambda i: voc_jit(voc.generator_params, mel + 1e-6 * (i + 1)))
+
+    denoiser_steps_per_s = DIFFUSION_STEPS / t_diff
+    vocoder_mel_frames_per_s = N_TOKENS / t_voc
+
+    # ---- MFU via XLA cost analysis ------------------------------------------
+    peak = peak_flops(jax.devices()[0])
+    sampling_args = dict(max_length=N_TOKENS)
+    from latent_diffusion_speech_tpu.models.lm.sampling import SamplingConfig
+
+    sampling = SamplingConfig(
+        max_new_tokens=N_TOKENS, do_sample=True, temperature=1.0, top_k=5,
+        top_p=0.8, repetition_penalty=1.2, end_gate_threshold=None,
+        eos_token_id=pipe.lm.cfg.semantic_eos, pad_token_id=pipe.lm.cfg.semantic_pad,
+        bos_token_id=pipe.lm.cfg.semantic_bos,
+    )
+    flops_lm = compiled_flops(
+        type(pipe.lm)._generate.lower(
+            pipe.lm, pipe.lm.params, phones, tones, spk, None, sampling,
+            jax.random.PRNGKey(0)).compile()
+    )
+    flops_diff = compiled_flops(
+        diff_jit.lower(system.params, units_fixed, jax.random.PRNGKey(0)).compile()
+    )
+    flops_voc = compiled_flops(voc_jit.lower(voc.generator_params, mel).compile())
+
+    mfu_serve = None
+    if peak and None not in (flops_lm, flops_diff, flops_voc):
+        mfu_serve = (flops_lm + flops_diff + flops_voc) / best / peak
+
+    # ---- flagship train step at B=64 (1 s crops) ----------------------------
+    from latent_diffusion_speech_tpu.config import Config
+    from latent_diffusion_speech_tpu.train.diffusion_trainer import DiffusionTrainer
+
+    cfg = Config()
+    trainer = DiffusionTrainer(cfg, dtype=jnp.bfloat16)
+    B, T = 64, 88
+    rng_np = np.random.default_rng(3)
+    batch = trainer.device_put_batch({
+        "units": rng_np.standard_normal((B, T, 1280)).astype(np.float32),
+        "mel": rng_np.standard_normal((B, T, 128)).astype(np.float32),
+        "spk_id": np.ones((B, 1), np.int32),
+    })
+    flops_train = compiled_flops(
+        trainer._train_step.lower(
+            trainer.system.params, trainer.opt_state, batch,
+            jax.random.PRNGKey(0), trainer.vq_state).compile()
+    )
+    # time the step (donated args: re-put the batch each iter is not needed;
+    # params/opt_state are returned and fed back)
+    metrics = trainer.train_step(batch, jax.random.PRNGKey(1))
+    float(metrics["loss"])  # sync
+    steps = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        metrics = trainer.train_step(batch, jax.random.PRNGKey(2 + i))
+        float(metrics["loss"])
+        steps.append(time.perf_counter() - t0)
+    t_train = min(steps)
+    mfu_train = flops_train / t_train / peak if (peak and flops_train) else None
 
     print(
         json.dumps(
@@ -121,12 +242,25 @@ def main():
                 "unit": "rtf",
                 "vs_baseline": round(TARGET_RTF / rtf, 3),
                 "detail": {
+                    "chained": "text->LM->tokens->embed->diffusion->vocoder (generated tokens are the conditioning)",
+                    "text_frontend_s_first_call": round(t_frontend, 3),
                     "audio_seconds": round(audio_seconds, 3),
                     "best_wall_s": round(best, 3),
                     "all_wall_s": [round(t, 3) for t in times],
                     "pipelined_throughput_rtf": round(amortized_rtf, 5),
                     "lm_decode_s": round(t_lm, 3),
-                    "diffusion_plus_vocoder_s": round(t_diff_voc, 3),
+                    "diffusion_20step_s": round(t_diff, 4),
+                    "vocoder_decode_s": round(t_voc, 4),
+                    "denoiser_steps_per_s": round(denoiser_steps_per_s, 1),
+                    "vocoder_mel_frames_per_s": round(vocoder_mel_frames_per_s),
+                    "mfu_serve": round(mfu_serve, 4) if mfu_serve else None,
+                    "mfu_train_b64": round(mfu_train, 4) if mfu_train else None,
+                    "train_step_b64_s": round(t_train, 4),
+                    "flops": {
+                        "lm_generate": flops_lm, "diffusion_20step": flops_diff,
+                        "vocoder": flops_voc, "train_step_b64": flops_train,
+                        "peak_bf16": peak,
+                    },
                     "sync": "scalar-fetch (relay block_until_ready is async)",
                     "device": str(jax.devices()[0]),
                 },

@@ -97,34 +97,106 @@ class HubertSoftUnits:
 
 
 class Wav2Vec2BertUnits:
-    """w2v-BERT units via HF transformers (ref `tools/tools.py:128-142`).
-    Torch-CPU execution; requires the facebook/w2v-bert-2.0 weights to be
-    present locally (offline environments raise a clear error)."""
+    """w2v-BERT 2.0 units, TPU-native (ref `tools/tools.py:128-142`).
 
-    def __init__(self, cache_dir: str = "pretrain", **_):
-        try:
-            from transformers import AutoFeatureExtractor, Wav2Vec2BertModel
+    The whole chain — Kaldi fbank frontend, 2-frame stacking, feature
+    projection, 24 conformer blocks — runs as jitted XLA programs
+    (`models/w2vbert.py`); torch is touched only when importing a local
+    HF checkpoint's weights.  Output: 50 fps 1024-d hidden states."""
 
-            self.processor = AutoFeatureExtractor.from_pretrained(
-                "facebook/w2v-bert-2.0", cache_dir=cache_dir, local_files_only=True
-            )
-            self.model = Wav2Vec2BertModel.from_pretrained(
-                "facebook/w2v-bert-2.0", cache_dir=cache_dir, local_files_only=True
-            ).eval()
-        except Exception as e:
-            raise NotImplementedError(
-                "w2v-bert units need the facebook/w2v-bert-2.0 weights in "
-                f"{cache_dir}/ (offline environment?)"
-            ) from e
+    def __init__(self, ckpt_path: Optional[str] = None, cache_dir: str = "pretrain",
+                 dtype=jnp.bfloat16, seed: int = 0, hf_model=None, **_):
+        from latent_diffusion_speech_tpu.models.w2vbert import (
+            W2vBertConfig,
+            W2vBertModel,
+            w2vbert_fbank,
+            w2vbert_params_from_torch,
+        )
+
+        self._fbank = w2vbert_fbank
+        if hf_model is not None:
+            # direct injection (tests / already-loaded HF torch model)
+            self.cfg = W2vBertConfig.from_hf(hf_model.config)
+            params = w2vbert_params_from_torch(hf_model.state_dict(), self.cfg)
+        elif ckpt_path and Path(ckpt_path).exists():
+            import torch
+
+            state = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+            state = state.get("model", state)
+            self.cfg = W2vBertConfig()
+            params = w2vbert_params_from_torch(state, self.cfg)
+        else:
+            try:
+                from transformers import Wav2Vec2BertModel as _HF
+
+                hf = _HF.from_pretrained(
+                    "facebook/w2v-bert-2.0", cache_dir=cache_dir, local_files_only=True
+                ).eval()
+                self.cfg = W2vBertConfig.from_hf(hf.config)
+                params = w2vbert_params_from_torch(hf.state_dict(), self.cfg)
+            except Exception:
+                # no local weights: random-init at flagship geometry (same
+                # posture as the whisper slot without its checkpoint)
+                self.cfg = W2vBertConfig()
+                self.model = W2vBertModel(self.cfg, dtype=dtype)
+                probe = jnp.zeros((1, 4, self.cfg.feature_projection_input_dim))
+                self.params = self.model.init(jax.random.PRNGKey(seed), probe)["params"]
+                self._apply = jax.jit(lambda p, f: self.model.apply({"params": p}, f))
+                return
+        self.model = W2vBertModel(self.cfg, dtype=dtype)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self._apply = jax.jit(lambda p, f: self.model.apply({"params": p}, f))
 
     def __call__(self, audio16k):
-        import numpy as np
-        import torch
+        if audio16k.ndim == 1:
+            audio16k = audio16k[None]
+        feats = self._fbank(audio16k)
+        return self._apply(self.params, feats)
 
-        inputs = self.processor(np.asarray(audio16k), sampling_rate=16000, return_tensors="pt")
-        with torch.no_grad():
-            out = self.model(**inputs).last_hidden_state
-        return jnp.asarray(out.numpy())
+
+class XLSRUnits:
+    """XLSR-53 (wav2vec 2.0 large) units, TPU-native (ref `tools/tools.py:144-163`).
+
+    Replaces the reference's fairseq `extract_features()["x"]` with a flax
+    wav2vec2 encoder (`models/wav2vec2.py`); accepts the fairseq
+    `xlsr_53_56k.pt` checkpoint or an HF `Wav2Vec2Model` state dict."""
+
+    def __init__(self, ckpt_path: Optional[str] = None, dtype=jnp.bfloat16,
+                 seed: int = 0, hf_model=None, **_):
+        from latent_diffusion_speech_tpu.models.wav2vec2 import (
+            Wav2Vec2Config,
+            Wav2Vec2Encoder,
+            wav2vec2_params_from_fairseq,
+            wav2vec2_params_from_hf,
+        )
+
+        if hf_model is not None:
+            self.cfg = Wav2Vec2Config.from_hf(hf_model.config)
+            params = wav2vec2_params_from_hf(hf_model.state_dict(), self.cfg)
+        elif ckpt_path and Path(ckpt_path).exists():
+            import torch
+
+            ck = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+            state = ck.get("model", ck)  # fairseq checkpoint layout
+            self.cfg = Wav2Vec2Config()
+            if any(k.startswith("post_extract_proj") for k in state):
+                params = wav2vec2_params_from_fairseq(state, self.cfg)
+            else:
+                params = wav2vec2_params_from_hf(state, self.cfg)
+        else:
+            self.cfg = Wav2Vec2Config()
+            self.model = Wav2Vec2Encoder(self.cfg, dtype=dtype)
+            self.params = self.model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 1600)))["params"]
+            self._apply = jax.jit(lambda p, w: self.model.apply({"params": p}, w))
+            return
+        self.model = Wav2Vec2Encoder(self.cfg, dtype=dtype)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self._apply = jax.jit(lambda p, w: self.model.apply({"params": p}, w))
+
+    def __call__(self, audio16k: jnp.ndarray) -> jnp.ndarray:
+        if audio16k.ndim == 1:
+            audio16k = audio16k[None]
+        return self._apply(self.params, audio16k)
 
 
 class UnitsEncoder:
@@ -143,12 +215,9 @@ class UnitsEncoder:
         elif encoder == "hubert_soft":
             self.model = HubertSoftUnits(ckpt_path=ckpt_path, **kw)
         elif encoder == "w2v-bert":
-            self.model = Wav2Vec2BertUnits(**kw)
+            self.model = Wav2Vec2BertUnits(ckpt_path=ckpt_path, **kw)
         elif encoder == "xlsr_53_56k":
-            raise NotImplementedError(
-                "xlsr_53_56k needs fairseq + external pretrained weights; "
-                "use whisper_large_v3 / hubert_soft, or plug a custom callable into UnitsEncoder.model"
-            )
+            self.model = XLSRUnits(ckpt_path=ckpt_path, **kw)
         else:
             raise ValueError(f"[x] Unknown units encoder: {encoder}")
 
