@@ -18,7 +18,12 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["fold_weight_norm", "encoder_params_from_torch", "generator_params_from_torch"]
+__all__ = [
+    "fold_weight_norm",
+    "encoder_params_from_torch",
+    "generator_params_from_torch",
+    "discriminator_bank_params_from_torch",
+]
 
 
 def _np(t) -> np.ndarray:
@@ -106,4 +111,59 @@ def generator_params_from_torch(state: Dict, cfg) -> Dict:
             params[f"res_{i}_{j}"] = _resblock(
                 state, f"resblocks.{i * n_kernels + j}", cfg.resblock
             )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# discriminator bank (reference MultiPeriodDiscriminator, models.py:131-159:
+# [MultiScaleSTFTDiscriminator(filters=32), DiscriminatorS, DiscriminatorP x9])
+# ---------------------------------------------------------------------------
+
+def _conv2d(state: Dict[str, np.ndarray], name: str) -> Dict[str, np.ndarray]:
+    w = state[name + ".weight"]  # (out, in, kh, kw)
+    p = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+    if name + ".bias" in state:
+        p["bias"] = state[name + ".bias"]
+    return p
+
+
+def _conv1d(state: Dict[str, np.ndarray], name: str) -> Dict[str, np.ndarray]:
+    w = state[name + ".weight"]  # (out, in/groups, k)
+    p = {"kernel": np.transpose(w, (2, 1, 0))}
+    if name + ".bias" in state:
+        p["bias"] = state[name + ".bias"]
+    return p
+
+
+def discriminator_bank_params_from_torch(
+    state: Dict, periods=(2, 3, 5, 7, 11, 13, 19, 23, 29), n_stft_scales: int = 3
+) -> Dict:
+    """Map a reference `MultiPeriodDiscriminator` state dict onto the flax
+    `DiscriminatorBank` tree (weight-norm folded first).
+
+    Reference layout: `discriminators.0` = MS-STFT (its own
+    `.discriminators.{s}.convs.{j}.conv` + `.conv_post.conv`),
+    `discriminators.1` = DiscriminatorS (`convs.{j}` + `conv_post`),
+    `discriminators.{2+i}` = DiscriminatorP(periods[i])."""
+    state = fold_weight_norm({k: _np(v) for k, v in state.items()})
+    params: Dict = {}
+    for s in range(n_stft_scales):
+        base = f"discriminators.0.discriminators.{s}"
+        tree = {}
+        for j in range(5):  # first conv + 3 dilated + pre-post
+            tree[f"Conv_{j}"] = _conv2d(state, f"{base}.convs.{j}.conv")
+        tree["Conv_5"] = _conv2d(state, f"{base}.conv_post.conv")
+        params[f"stft_{s}"] = tree
+    tree = {}
+    for j in range(6):
+        tree[f"Conv_{j}"] = _conv1d(state, f"discriminators.1.convs.{j}")
+    tree["Conv_6"] = _conv1d(state, "discriminators.1.conv_post")
+    params["scale"] = tree
+    for i, p in enumerate(periods):
+        base = f"discriminators.{2 + i}"
+        tree = {}
+        for j in range(5):
+            tree[f"Conv_{j}"] = _conv2d(state, f"{base}.convs.{j}")
+        tree["Conv_5"] = _conv2d(state, f"{base}.conv_post")
+        params[f"period_{p}"] = tree
     return params
