@@ -25,9 +25,12 @@ import jax.numpy as jnp
 from latent_diffusion_speech_tpu.models.diffusion.samplers import (
     ddim_sample,
     ddpm_sample,
+    dpmpp_adaptive_sample,
     dpmpp_sample,
+    dpmpp_singlestep_sample,
     plms_sample,
     unipc_sample,
+    unipc_vary_sample,
 )
 from latent_diffusion_speech_tpu.models.diffusion.schedule import DiffusionSchedule, NoiseSchedule
 
@@ -159,6 +162,15 @@ class GaussianDiffusion:
         elif method == "unipc":
             ns = NoiseSchedule(self.schedule.betas[:t_max])
             x = unipc_sample(eps_fn, ns, x, steps=t_max // infer_speedup, order=2)
+        elif method == "dpm-solver-singlestep":
+            ns = NoiseSchedule(self.schedule.betas[:t_max])
+            x = dpmpp_singlestep_sample(eps_fn, ns, x, steps=t_max // infer_speedup, order=2)
+        elif method == "dpm-solver-adaptive":
+            ns = NoiseSchedule(self.schedule.betas[:t_max])
+            x = dpmpp_adaptive_sample(eps_fn, ns, x, order=2)
+        elif method == "unipc-vary":
+            ns = NoiseSchedule(self.schedule.betas[:t_max])
+            x = unipc_vary_sample(eps_fn, ns, x, steps=t_max // infer_speedup, order=2)
         else:
             raise NotImplementedError(method)
 

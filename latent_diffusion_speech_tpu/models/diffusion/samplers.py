@@ -303,3 +303,256 @@ def unipc_sample(
     x, m_0, m_1, lam_prev_1 = carry
     _, x_pred, _ = coeffs(x, m_0, m_1, lam_prev_1, jnp.asarray(steps - 1))
     return x_pred
+
+
+# ---------------------------------------------------------------------------
+# DPM-Solver++ singlestep ("DPM-Solver-fast": mixed orders 1-3)
+# ---------------------------------------------------------------------------
+
+def _singlestep_updates(model, ns: NoiseSchedule):
+    """The three dpmsolver++ singlestep updates (dpm_solver_pytorch.py:547-846,
+    solver_type='dpmsolver').  Each takes scalar continuous times (s, t) and
+    runs its own intermediate model evals."""
+
+    def first(x, s, t, model_s=None):
+        lam_s, lam_t = ns.marginal_lambda(s), ns.marginal_lambda(t)
+        sig_s, sig_t = ns.marginal_std(s), ns.marginal_std(t)
+        alpha_t = ns.marginal_alpha(t)
+        phi_1 = jnp.expm1(-(lam_t - lam_s))
+        if model_s is None:
+            model_s = model(x, s)
+        return (sig_t / sig_s) * x - (alpha_t * phi_1) * model_s, model_s
+
+    def second(x, s, t, r1=0.5, model_s=None):
+        lam_s, lam_t = ns.marginal_lambda(s), ns.marginal_lambda(t)
+        h = lam_t - lam_s
+        s1 = ns.inverse_lambda(lam_s + r1 * h)
+        sig_s, sig_s1, sig_t = ns.marginal_std(s), ns.marginal_std(s1), ns.marginal_std(t)
+        alpha_s1, alpha_t = ns.marginal_alpha(s1), ns.marginal_alpha(t)
+        phi_11 = jnp.expm1(-r1 * h)
+        phi_1 = jnp.expm1(-h)
+        if model_s is None:
+            model_s = model(x, s)
+        x_s1 = (sig_s1 / sig_s) * x - (alpha_s1 * phi_11) * model_s
+        model_s1 = model(x_s1, s1)
+        x_t = (
+            (sig_t / sig_s) * x
+            - (alpha_t * phi_1) * model_s
+            - (0.5 / r1) * (alpha_t * phi_1) * (model_s1 - model_s)
+        )
+        return x_t, (model_s, model_s1)
+
+    def third(x, s, t, r1=1.0 / 3, r2=2.0 / 3, model_s=None, model_s1=None):
+        lam_s, lam_t = ns.marginal_lambda(s), ns.marginal_lambda(t)
+        h = lam_t - lam_s
+        s1 = ns.inverse_lambda(lam_s + r1 * h)
+        s2 = ns.inverse_lambda(lam_s + r2 * h)
+        sig_s, sig_s1, sig_s2, sig_t = (
+            ns.marginal_std(s), ns.marginal_std(s1), ns.marginal_std(s2), ns.marginal_std(t)
+        )
+        alpha_s1, alpha_s2, alpha_t = (
+            ns.marginal_alpha(s1), ns.marginal_alpha(s2), ns.marginal_alpha(t)
+        )
+        phi_11 = jnp.expm1(-r1 * h)
+        phi_12 = jnp.expm1(-r2 * h)
+        phi_1 = jnp.expm1(-h)
+        phi_22 = jnp.expm1(-r2 * h) / (r2 * h) + 1.0
+        phi_2 = phi_1 / h + 1.0
+        if model_s is None:
+            model_s = model(x, s)
+        if model_s1 is None:
+            x_s1 = (sig_s1 / sig_s) * x - (alpha_s1 * phi_11) * model_s
+            model_s1 = model(x_s1, s1)
+        x_s2 = (
+            (sig_s2 / sig_s) * x
+            - (alpha_s2 * phi_12) * model_s
+            + (r2 / r1) * (alpha_s2 * phi_22) * (model_s1 - model_s)
+        )
+        model_s2 = model(x_s2, s2)
+        x_t = (
+            (sig_t / sig_s) * x
+            - (alpha_t * phi_1) * model_s
+            + (1.0 / r2) * (alpha_t * phi_2) * (model_s2 - model_s)
+        )
+        return x_t, (model_s, model_s1)
+
+    return first, second, third
+
+
+def singlestep_orders(steps: int, order: int):
+    """Order list for DPM-Solver-fast (dpm_solver_pytorch.py:482-540)."""
+    if order == 3:
+        K = steps // 3 + 1
+        if steps % 3 == 0:
+            return [3] * (K - 2) + [2, 1]
+        if steps % 3 == 1:
+            return [3] * (K - 1) + [1]
+        return [3] * (K - 1) + [2]
+    if order == 2:
+        if steps % 2 == 0:
+            return [2] * (steps // 2)
+        return [2] * (steps // 2) + [1]
+    if order == 1:
+        return [1] * steps
+    raise ValueError("'order' must be 1, 2 or 3")
+
+
+def dpmpp_singlestep_sample(
+    eps_fn: EpsFn, ns: NoiseSchedule, x: jnp.ndarray, steps: int, order: int = 2
+) -> jnp.ndarray:
+    """Singlestep DPM-Solver++ ("DPM-Solver-fast", dpm_solver_pytorch.py
+    sample(method='singlestep'), time_uniform): `steps` model evals split
+    into blocks of the given max order.  The order pattern is static, so the
+    mixed-order trajectory compiles as straight-line XLA."""
+    B = x.shape[0]
+    model = _data_pred_fn(eps_fn, ns, B)
+    first, second, third = _singlestep_updates(model, ns)
+    orders = singlestep_orders(steps, order)
+    import numpy as _np
+
+    t_seq = jnp.linspace(ns.T, 1.0 / ns.total_N, steps + 1)
+    outer = t_seq[_np.cumsum([0] + orders)]
+    for i, o in enumerate(orders):
+        s, t = outer[i], outer[i + 1]
+        # r1/r2 come from the lambda spacing of a time-uniform inner grid
+        # (dpm_solver_pytorch.py:1223-1227), not the fixed 0.5 / (1/3, 2/3)
+        inner = jnp.linspace(s, t, o + 1)
+        lam = ns.marginal_lambda(inner)
+        h = lam[-1] - lam[0]
+        if o == 1:
+            x, _ = first(x, s, t)
+        elif o == 2:
+            x, _ = second(x, s, t, r1=(lam[1] - lam[0]) / h)
+        else:
+            x, _ = third(x, s, t, r1=(lam[1] - lam[0]) / h, r2=(lam[2] - lam[0]) / h)
+    return x
+
+
+def dpmpp_adaptive_sample(
+    eps_fn: EpsFn,
+    ns: NoiseSchedule,
+    x: jnp.ndarray,
+    order: int = 2,
+    h_init: float = 0.05,
+    atol: float = 0.0078,
+    rtol: float = 0.05,
+    theta: float = 0.9,
+    t_err: float = 1e-5,
+    max_iters: int = 200,
+) -> jnp.ndarray:
+    """Adaptive step-size DPM-Solver++ (dpm_solver_pytorch.py:956-1045) as a
+    `lax.while_loop`: embedded (order-1, order-2) or (order-2, order-3) pairs,
+    step accepted when the scaled local-error RMS is <= 1, logSNR step adapted
+    by theta * E^(-1/order).  `max_iters` bounds the compiled loop as a safety
+    net (the reference loops unboundedly)."""
+    assert order in (2, 3)
+    B = x.shape[0]
+    model = _data_pred_fn(eps_fn, ns, B)
+    first, second, third = _singlestep_updates(model, ns)
+    t_0 = 1.0 / ns.total_N
+    lambda_0 = ns.marginal_lambda(jnp.asarray(t_0))
+
+    def lower_higher(x, s, t):
+        if order == 2:
+            x_low, model_s = first(x, s, t)
+            x_high, _ = second(x, s, t, model_s=model_s)
+        else:
+            # r1=1/3 so the lower update's intermediate eval is shared with
+            # the third-order update (dpm_solver_adaptive, :1000-1004)
+            x_low, (model_s, model_s1) = second(x, s, t, r1=1.0 / 3)
+            x_high, _ = third(x, s, t, model_s=model_s, model_s1=model_s1)
+        return x_low, x_high
+
+    def cond(carry):
+        x, x_prev, s, h, it = carry
+        return jnp.logical_and(jnp.abs(s - t_0) > t_err, it < max_iters)
+
+    def body(carry):
+        x, x_prev, s, h, it = carry
+        lam_s = ns.marginal_lambda(s)
+        t = ns.inverse_lambda(lam_s + h)
+        x_low, x_high = lower_higher(x, s, t)
+        delta = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(x_low), jnp.abs(x_prev)))
+        err = ((x_high - x_low) / delta).reshape(B, -1)
+        E = jnp.max(jnp.sqrt(jnp.mean(err**2, axis=-1)))
+        accept = E <= 1.0
+        x = jnp.where(accept, x_high, x)
+        x_prev = jnp.where(accept, x_low, x_prev)
+        s_new = jnp.where(accept, t, s)
+        lam_new = ns.marginal_lambda(s_new)
+        h = jnp.minimum(theta * h * E ** (-1.0 / order), lambda_0 - lam_new)
+        return (x, x_prev, s_new, h, it + 1)
+
+    carry = (x, x, jnp.asarray(ns.T, jnp.float32), jnp.asarray(h_init, jnp.float32),
+             jnp.int32(0))
+    x, *_ = jax.lax.while_loop(cond, body, carry)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# UniPC vary-coeff (order 2)
+# ---------------------------------------------------------------------------
+
+def unipc_vary_sample(
+    eps_fn: EpsFn, ns: NoiseSchedule, x: jnp.ndarray, steps: int, order: int = 2
+) -> jnp.ndarray:
+    """UniPC variant='vary_coeff' (uni_pc.py:368-470), multistep order <= 2,
+    predict_x0, corrector on every step but the last — same driver shape as
+    `unipc_sample`, different (Vandermonde-solved) coefficients.
+
+    Order-2 closed forms: C = [[1, r0/2], [1, 1/2]], A_p = [[1]],
+    A_c = inv(C); phi_k recurrence phi_{k+1} = phi_k / (-h) - 1/k!."""
+    assert order in (1, 2)
+    B = x.shape[0]
+    model = _data_pred_fn(eps_fn, ns, B)
+    ts = jnp.linspace(ns.T, 1.0 / ns.total_N, steps + 1)
+    lambdas = ns.marginal_lambda(ts)
+    sigmas = ns.marginal_std(ts)
+    alphas = ns.marginal_alpha(ts)
+
+    m0 = model(x, ts[0])
+
+    def coeffs(x, m_0, m_1, lam_prev_1, idx):
+        lam_t, lam_s = lambdas[idx + 1], lambdas[idx]
+        sig_t, sig_s = sigmas[idx + 1], sigmas[idx]
+        alpha_t = alphas[idx + 1]
+        h = lam_t - lam_s
+        hh = -h
+        phi_1 = jnp.expm1(hh)
+        phi_2 = phi_1 / hh - 1.0
+        phi_3 = phi_2 / hh - 0.5
+
+        step_order = jnp.minimum(jnp.minimum(idx + 1, order), steps - idx)
+        is2 = (step_order >= 2).astype(x.dtype)
+
+        r0 = (lam_prev_1 - lam_s) / h
+        r0_safe = jnp.where(r0 == 0, 0.5, r0)
+        D1_0 = (m_1 - m_0) / r0_safe
+
+        x_t_ = (sig_t / sig_s) * x - (alpha_t * phi_1) * m_0
+        # predictor: A_p = [[1]] -> one phi_2 D1_0 residual (order 2 only)
+        x_pred = x_t_ - is2 * (alpha_t * phi_2) * D1_0
+        # corrector rows of A_c = inv([[1, r0/2], [1, 1/2]])
+        det = jnp.where(1.0 - r0_safe == 0, 1.0, (1.0 - r0_safe) / 2.0)
+        a00 = 0.5 / det       # coefficient on D1_0 (phi_2 term)
+        a01 = -r0_safe / (2.0 * det)  # coefficient on D1_t (phi_3 term)
+        return x_t_, x_pred, (alpha_t, phi_2, phi_3, a00, a01, is2, D1_0)
+
+    def step(carry, idx):
+        x, m_0, m_1, lam_prev_1 = carry
+        x_t_, x_pred, (alpha_t, phi_2, phi_3, a00, a01, is2, D1_0) = coeffs(
+            x, m_0, m_1, lam_prev_1, idx
+        )
+        m_t = model(x_pred, ts[idx + 1])
+        D1_t = m_t - m_0
+        x_o2 = x_t_ - (alpha_t * phi_2) * (a00 * D1_0) - (alpha_t * phi_3) * (a01 * D1_t)
+        x_o1 = x_t_ - (alpha_t * phi_2) * D1_t  # K=1 corrector: A_c = [[1]]
+        x_new = is2 * x_o2 + (1 - is2) * x_o1
+        return (x_new, m_t, m_0, lambdas[idx]), None
+
+    carry = (x, m0, jnp.zeros_like(m0), lambdas[0])
+    if steps > 1:
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(steps - 1))
+    x, m_0, m_1, lam_prev_1 = carry
+    _, x_pred, _ = coeffs(x, m_0, m_1, lam_prev_1, jnp.asarray(steps - 1))
+    return x_pred

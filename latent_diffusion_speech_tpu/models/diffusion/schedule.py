@@ -110,3 +110,9 @@ class NoiseSchedule:
         """Continuous t in [1/N, 1] -> discrete model input in [0, N-1]
         (dpm_solver_pytorch.py model_wrapper 'discrete' convention)."""
         return (t - 1.0 / self.total_N) * 1000.0
+
+    def inverse_lambda(self, lamb):
+        """Continuous t for a given half-logSNR (dpm_solver_pytorch.py:164-167,
+        'discrete' branch: interp over the flipped log-alpha table)."""
+        log_alpha = -0.5 * jnp.logaddexp(0.0, -2.0 * lamb)
+        return jnp.interp(log_alpha, self.log_alpha_array[::-1], self.t_array[::-1])

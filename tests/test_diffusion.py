@@ -292,3 +292,103 @@ class TestUnit2Mel:
         g = jax.grad(lambda p: sys_.loss(p, units, gt, jax.random.PRNGKey(0)))(sys_.params)
         leaves = jax.tree_util.tree_leaves(g)
         assert any(bool(jnp.any(l != 0)) for l in leaves)
+
+
+class TestExtraSolverModes:
+    """Singlestep / adaptive DPM-Solver++ and vary-coeff UniPC vs the
+    reference classes (VERDICT round-1 item 9: the full solver surface)."""
+
+    def _toy(self):
+        torch = pytest.importorskip("torch")
+        if REFERENCE not in sys.path:
+            sys.path.insert(0, REFERENCE)
+        betas = np.linspace(1e-4, 0.02, 1000)
+        x0 = np.random.default_rng(3).standard_normal((2, 1, 4, 8)).astype(np.float32)
+
+        def eps_np(x, t):
+            return np.tanh(x) * np.cos(np.asarray(t, np.float32) / 1000.0).reshape(-1, 1, 1, 1)
+
+        def model(x, t, **kw):
+            return torch.from_numpy(
+                eps_np(x.numpy(), t.numpy() if t.ndim else np.full(x.shape[0], float(t)))
+            )
+
+        def eps_fn(x, t):
+            return jnp.tanh(x) * jnp.cos(t.astype(jnp.float32) / 1000.0)[:, None, None]
+
+        ns_j = NoiseSchedule(betas)
+        x_init = jnp.asarray(x0[:, 0].transpose(0, 2, 1))
+        return torch, betas, x0, model, eps_fn, ns_j, x_init
+
+    @pytest.mark.parametrize("steps,order", [(6, 2), (9, 2), (6, 3), (20, 3)])
+    def test_singlestep_matches(self, steps, order):
+        torch, betas, x0, model, eps_fn, ns_j, x_init = self._toy()
+        from diffusion.dpm_solver_pytorch import DPM_Solver, NoiseScheduleVP, model_wrapper
+
+        ns_t = NoiseScheduleVP(schedule="discrete", betas=torch.from_numpy(betas).float())
+        solver = DPM_Solver(model_wrapper(model, ns_t, model_type="noise"), ns_t,
+                            algorithm_type="dpmsolver++")
+        with torch.no_grad():
+            ref = solver.sample(torch.from_numpy(x0), steps=steps, order=order,
+                                skip_type="time_uniform", method="singlestep").numpy()
+
+        from latent_diffusion_speech_tpu.models.diffusion.samplers import (
+            dpmpp_singlestep_sample,
+        )
+
+        mine = dpmpp_singlestep_sample(eps_fn, ns_j, x_init, steps=steps, order=order)
+        np.testing.assert_allclose(
+            np.asarray(mine).transpose(0, 2, 1), ref[:, 0], atol=2e-3, rtol=2e-3
+        )
+
+    @pytest.mark.parametrize("order", [2, 3])
+    def test_adaptive_matches(self, order):
+        torch, betas, x0, model, eps_fn, ns_j, x_init = self._toy()
+        from diffusion.dpm_solver_pytorch import DPM_Solver, NoiseScheduleVP, model_wrapper
+
+        ns_t = NoiseScheduleVP(schedule="discrete", betas=torch.from_numpy(betas).float())
+        solver = DPM_Solver(model_wrapper(model, ns_t, model_type="noise"), ns_t,
+                            algorithm_type="dpmsolver++")
+        with torch.no_grad():
+            ref = solver.sample(torch.from_numpy(x0), order=order, method="adaptive",
+                                atol=0.0078, rtol=0.05).numpy()
+
+        from latent_diffusion_speech_tpu.models.diffusion.samplers import (
+            dpmpp_adaptive_sample,
+        )
+
+        mine = dpmpp_adaptive_sample(eps_fn, ns_j, x_init, order=order)
+        # both runs control local error to the same tolerances but may take
+        # slightly different step sequences (f32 vs f64 accept decisions);
+        # agreement is bounded by the solver tolerance, not machine eps
+        np.testing.assert_allclose(
+            np.asarray(mine).transpose(0, 2, 1), ref[:, 0], atol=1.5e-2, rtol=5e-2
+        )
+
+    @pytest.mark.parametrize("steps", [5, 20])
+    def test_unipc_vary_matches(self, steps):
+        torch, betas, x0, model, eps_fn, ns_j, x_init = self._toy()
+        from diffusion.uni_pc import NoiseScheduleVP, UniPC, model_wrapper
+
+        ns_t = NoiseScheduleVP(schedule="discrete", betas=torch.from_numpy(betas).float())
+        solver = UniPC(model_wrapper(model, ns_t, model_type="noise"), ns_t,
+                       variant="vary_coeff")
+        with torch.no_grad():
+            ref = solver.sample(torch.from_numpy(x0), steps=steps, order=2,
+                                skip_type="time_uniform", method="multistep").numpy()
+
+        from latent_diffusion_speech_tpu.models.diffusion.samplers import unipc_vary_sample
+
+        mine = unipc_vary_sample(eps_fn, ns_j, x_init, steps=steps, order=2)
+        np.testing.assert_allclose(
+            np.asarray(mine).transpose(0, 2, 1), ref[:, 0], atol=2e-3, rtol=2e-3
+        )
+
+    def test_dispatch_through_gaussian(self, rng):
+        gd = GaussianDiffusion(
+            lambda params, x, t: x[..., :4] * 0.0, out_dims=4, timesteps=50, k_step=50
+        )
+        cond = jnp.asarray(rng.standard_normal((1, 16, 4)).astype(np.float32))
+        for method in ["dpm-solver-singlestep", "dpm-solver-adaptive", "unipc-vary"]:
+            out = gd.sample(None, cond, jax.random.PRNGKey(0), method=method, infer_speedup=10)
+            assert out.shape == (1, 16, 4) and bool(jnp.isfinite(out).all()), method
