@@ -36,9 +36,15 @@ def process_tts(path_root: str | Path, mode: str = "phone", language: str = "ZH"
         stem = Path(name_ext).stem
         if stem not in utt_text:
             continue
-        if mode != "phone":
-            raise NotImplementedError("text mode needs an external BERT tokenizer")
-        (phones, tones, lang_ids), (_norm, word2ph) = text_to_sequence(utt_text[stem], language)
+        if mode == "phone":
+            (phones, tones, lang_ids), (_norm, word2ph) = text_to_sequence(utt_text[stem], language)
+        else:
+            # 'text' mode: BERT tokenizer ids, empty tone/lang/word2ph arrays
+            # (ref 16_preprocess_train_tts.py:37-39)
+            from latent_diffusion_speech_tpu.text.bert import get_bert_token
+
+            phones, _tokens = get_bert_token(utt_text[stem])
+            tones = lang_ids = word2ph = []
         out = root / "utt" / (name_ext + ".npy")
         out.parent.mkdir(parents=True, exist_ok=True)
         np.save(
