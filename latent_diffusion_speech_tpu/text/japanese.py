@@ -86,6 +86,50 @@ def text_normalize(text: str) -> str:
     return text.replace("％", "パーセント")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _kanji_table() -> dict:
+    """Vendored kanji -> kana readings (word entries + per-char fallbacks);
+    used only when pyopenjtalk is absent. Approximate by design — no
+    morphological analysis — but keeps raw-kanji input functional offline."""
+    from latent_diffusion_speech_tpu.text.data_files import find_data_file
+
+    path = find_data_file("kanji_table.txt")
+    table: dict = {}
+    if path is not None:
+        for line in path.read_text(encoding="utf-8").splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) == 2:
+                table[parts[0]] = parts[1]
+    return table
+
+
+def _kanji_to_kana(text: str) -> str:
+    """Longest-match replacement of kanji(-containing) spans with kana."""
+    table = _kanji_table()
+    out: List[str] = []
+    i = 0
+    n = len(text)
+    while i < n:
+        matched = False
+        for j in range(min(n, i + 6), i, -1):
+            sub = text[i:j]
+            if sub in table and (j - i > 1 or "一" <= sub <= "鿿"):
+                out.append(table[sub])
+                i = j
+                matched = True
+                break
+        if not matched:
+            out.append(text[i])
+            i += 1
+    return "".join(out)
+
+
 def g2p(text: str) -> Tuple[List[str], List[int], List[int]]:
     text = text_normalize(text)
     try:
@@ -97,7 +141,7 @@ def g2p(text: str) -> Tuple[List[str], List[int], List[int]]:
         # stream: Q -> cl, N stays N
         phones = ["cl" if p == "Q" else p for p in phones]
     except ImportError:
-        phones = _kana_to_phones(text)
+        phones = _kana_to_phones(_kanji_to_kana(text))
 
     phones = [post_replace_ph(p) for p in phones]
     tones = [0] * len(phones)

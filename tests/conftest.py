@@ -23,3 +23,24 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# fast/slow split: the heavy suites (multi-device trainer steps, torch parity
+# with compiled models, e2e CLI drives) are marked 'slow'.  Default runs
+# everything; the fast dev loop is `pytest -m "not slow"` (<2 min).
+# ---------------------------------------------------------------------------
+
+_SLOW_MODULES = {
+    "test_tensor_parallel", "test_codec_trainer", "test_train", "test_cli",
+    "test_e2e", "test_hubert", "test_lora", "test_unit2mel_import",
+    "test_reference_migration", "test_w2vbert", "test_wav2vec2",
+    "test_discriminators", "test_lm", "test_diffusion", "test_bert_text_mode",
+    "test_whisper_units", "test_vaegan", "test_fast_batch",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.fspath.purebasename in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

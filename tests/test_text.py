@@ -264,3 +264,21 @@ class TestNativeHanziG2P:
         ts = ToneSandhi()
         assert ts.finals_fn is not None
         assert ts.finals_fn("好")[0][-1] == "3"
+
+
+class TestJapaneseKanjiFallback:
+    """Raw-kanji JA input without pyopenjtalk (vendored reading table)."""
+
+    def test_kanji_to_kana(self):
+        from latent_diffusion_speech_tpu.text.japanese import _kanji_to_kana
+
+        assert _kanji_to_kana("今日は天気がいい") == "きょうはてんきがいい"
+        assert _kanji_to_kana("日本語") == "にほんご"
+
+    def test_kanji_g2p_end_to_end(self):
+        from latent_diffusion_speech_tpu.text import text_to_sequence
+        from latent_diffusion_speech_tpu.text.symbols import symbols
+
+        (phones, tones, langs), _ = text_to_sequence("私は日本語を勉強します", "JA")
+        assert len(phones) == len(tones) == len(langs) > 10
+        assert all(0 <= p < len(symbols) for p in phones)
