@@ -54,7 +54,9 @@ def _conv(state: Dict[str, np.ndarray], name: str) -> Dict[str, np.ndarray]:
     p = {"kernel": np.transpose(w, (2, 1, 0))}
     if name + ".bias" in state:
         p["bias"] = state[name + ".bias"]
-    return {"Conv_0": p}
+    else:
+        p["bias"] = np.zeros(w.shape[0], np.float32)
+    return p
 
 
 def _conv_transpose(state: Dict[str, np.ndarray], name: str) -> Dict[str, np.ndarray]:
@@ -63,7 +65,9 @@ def _conv_transpose(state: Dict[str, np.ndarray], name: str) -> Dict[str, np.nda
     p = {"kernel": np.ascontiguousarray(kernel)}
     if name + ".bias" in state:
         p["bias"] = state[name + ".bias"]
-    return {"Conv_0": p}
+    else:
+        p["bias"] = np.zeros(w.shape[1], np.float32)
+    return p
 
 
 def _resblock(state: Dict[str, np.ndarray], prefix: str, resblock_type: str) -> Dict:
