@@ -83,9 +83,18 @@ def _g2p_en():
         return None
 
 
+def _flat_lookup(word: str):
+    """CMUdict lookup returning a flat stress-digit phone list, or None."""
+    syllables = cmu_dict().get(word.upper())
+    if syllables is None:
+        return None
+    return [ph for syl in syllables for ph in syl]
+
+
 def _oov_to_phones(word: str) -> Tuple[List[str], List[int]]:
-    """OOV fallback: g2p_en if present, else spell letter-by-letter via the
-    dictionary (degraded but deterministic)."""
+    """OOV fallback chain: g2p_en when the package exists (reference parity,
+    `/root/reference/text/english.py:13,49`), else the native morphological
+    stem lookup, else NRL-style letter-to-sound rules."""
     g2p_model = _g2p_en()
     if g2p_model is not None:
         phones, tones = [], []
@@ -98,13 +107,15 @@ def _oov_to_phones(word: str) -> Tuple[List[str], List[int]]:
                 phones.append(ph)
                 tones.append(0)
         return phones, tones
-    d = cmu_dict()
+
+    from latent_diffusion_speech_tpu.text.letter_to_sound import lts, stem_lookup
+
+    arpa = stem_lookup(word, _flat_lookup) or lts(word)
     phones, tones = [], []
-    for letter in word.upper():
-        if letter in d:
-            p, t = refine_syllables(d[letter])
-            phones += p
-            tones += t
+    for ph in arpa:
+        p, t = refine_ph(ph)
+        phones.append(p)
+        tones.append(t)
     return phones, tones
 
 

@@ -128,6 +128,42 @@ class TestEnglish:
         assert english.refine_ph("OW1") == ("ow", 2)
         assert english.refine_ph("K") == ("k", 0)
 
+    def test_letter_to_sound_rules(self):
+        from latent_diffusion_speech_tpu.text.letter_to_sound import lts
+
+        # rule-based ARPAbet for words the rules should get right
+        assert lts("nation") == ["N", "EY1", "SH", "AH0", "N"]
+        assert lts("make") == ["M", "EY1", "K"]
+        assert lts("through") == ["TH", "R", "UW1"]
+        # every output phone must survive refine_ph into the symbol table
+        for word in ("zorblax", "phoneme", "krandor", "quixotic"):
+            out = lts(word)
+            assert out, word
+            for ph in out:
+                p, _ = english.refine_ph(ph)
+                assert p in symbols, f"{word}: {ph}"
+
+    @pytest.mark.skipif(not HAS_REFERENCE, reason="needs cmudict.rep")
+    def test_stem_lookup_inflections(self):
+        from latent_diffusion_speech_tpu.text.letter_to_sound import stem_lookup
+
+        look = english._flat_lookup
+        # voicing rules: unvoiced stem -> S/T, voiced -> Z/D, sibilant -> IH0 Z
+        assert stem_lookup("cats", look)[-1] == "S"
+        assert stem_lookup("dogs", look)[-1] == "Z"
+        assert stem_lookup("wishes", look)[-2:] == ["IH0", "Z"]
+        assert stem_lookup("hopped", look)[-1] == "T"  # consonant-doubling undo
+        assert stem_lookup("carried", look)[-2:] == ["IY0", "D"]  # i->y stem
+        assert stem_lookup("making", look)[-2:] == ["IH0", "NG"]  # e-restore
+
+    @pytest.mark.skipif(not HAS_REFERENCE, reason="needs cmudict.rep")
+    def test_oov_words_produce_valid_phones(self):
+        # nonce words: the full g2p path must emit symbol-table phones
+        phones, tones, word2ph = english.g2p("the zorblax jumped quickly")
+        assert all(p in symbols for p in phones)
+        assert len(phones) == len(tones) == len(word2ph)
+        assert "UNK" not in phones
+
 
 class TestJapanese:
     def test_kana_fallback_path(self):
