@@ -394,6 +394,40 @@ class RoformerSystem:
                 params["semantic_embed"] = {"embedding": jnp.asarray(emb)}
         self.params = params
 
+    def encode_seq_parallel(self, phone, tone, spk_id=None, mesh=None):
+        """Sequence-parallel text encode over the mesh 'seq' axis.
+
+        Activations are sharded along the token dimension; the pure-transformer
+        encoder's elementwise/matmul ops partition trivially, and self-attention
+        runs as exact ring attention (k/v blocks rotating over ICI via
+        `ppermute` — see ops/ring_attention.py).  The reference has no sequence
+        parallelism (SURVEY.md §2.8); this substantiates the reserved 'seq'
+        axis for contexts that outgrow one chip.  L must divide by the axis
+        size; output is sharded the same way."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from latent_diffusion_speech_tpu.ops.attention import sequence_parallel
+
+        spec = NamedSharding(mesh, P(None, "seq"))
+        phone = jax.device_put(jnp.asarray(phone), spec)
+        tone = jax.device_put(jnp.asarray(tone), spec)
+        if spk_id is not None:
+            spk_id = jax.device_put(jnp.asarray(spk_id), spec)
+
+        # the ring context must be active while tracing: build a fresh jit
+        # per mesh (cached on self) so the compiled program embeds the ring
+        key = (id(mesh), spk_id is not None)
+        cache = getattr(self, "_seq_par_cache", None)
+        if cache is None or cache[0] != key:
+            def fn(params, ph, tn, sp):
+                with sequence_parallel(mesh):
+                    return self.module.apply(
+                        {"params": params}, ph, tn, sp, method=self.module.encode
+                    )
+
+            self._seq_par_cache = (key, jax.jit(fn))
+        return self._seq_par_cache[1](self.params, phone, tone, spk_id)
+
     def loss(self, params, phone, tone, semantic_in, labels, spk_id=None,
              encoder_attention_mask=None, attention_mask=None, dropout_rng=None):
         """Causal CE with -100 ignore (HF convention: logits[:-1] vs labels[1:])."""

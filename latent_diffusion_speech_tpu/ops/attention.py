@@ -15,12 +15,55 @@ XLA's fused softmax is already near roofline, so the Pallas path is opt-in.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dot_product_attention", "rotate_half", "apply_rotary"]
+__all__ = [
+    "dot_product_attention",
+    "rotate_half",
+    "apply_rotary",
+    "sequence_parallel",
+]
+
+# Active sequence-parallel contexts (a stack of (mesh, axis)).  When set,
+# eligible self-attention calls route to the exact ring-attention op with
+# q/k/v sharded over the mesh axis (ppermute k/v rotation over ICI).  The
+# context must be active at TRACE time — wrap the jit call, not just the
+# module construction.
+_seq_parallel: list = []
+
+
+@contextlib.contextmanager
+def sequence_parallel(mesh, axis: str = "seq"):
+    """Route self-attention inside this context through ring attention.
+
+    Only plain self-attention qualifies (no mask/bias/dropout, q and k the
+    same length, length divisible by the axis size); anything else falls back
+    to the XLA path unchanged.  Convolutional models (the UNet) are not
+    sequence-shardable this way — their convs would need halo exchange — so
+    this is wired for the pure-transformer stacks (RoFormer/BERT encoders)."""
+    _seq_parallel.append((mesh, axis))
+    try:
+        yield
+    finally:
+        _seq_parallel.pop()
+
+
+def _ring_eligible(q, k, bias, mask, dropout_rate, dropout_rng):
+    if not _seq_parallel or bias is not None or mask is not None:
+        return None
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        return None
+    if q.shape[1] != k.shape[1]:
+        return None
+    mesh, axis = _seq_parallel[-1]
+    n = dict(mesh.shape)[axis]
+    if n <= 1 or q.shape[1] % n != 0:
+        return None
+    return mesh, axis
 
 
 def dot_product_attention(
@@ -46,6 +89,13 @@ def dot_product_attention(
     orig_dtype = q.dtype
     d = q.shape[-1]
     scale = scale if scale is not None else d**-0.5
+
+    ring = _ring_eligible(q, k, bias, mask, dropout_rate, dropout_rng)
+    if ring is not None and impl == "xla":
+        from latent_diffusion_speech_tpu.ops.ring_attention import ring_attention
+
+        mesh, axis = ring
+        return ring_attention(q, k, v, mesh, axis=axis, is_causal=is_causal, scale=scale)
 
     if impl == "pallas":
         from latent_diffusion_speech_tpu.ops.pallas.flash_attention import flash_attention
