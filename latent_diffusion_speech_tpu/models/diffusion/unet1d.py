@@ -71,14 +71,16 @@ class ResBlock1D(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         """x (B, T, C), temb (B, E). 'scale_shift' time conditioning."""
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm1")(x)
+        # norms: f32 statistics, output cast back to the compute dtype — the
+        # f32 tensor must not materialize in HBM (the step is bandwidth-bound)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm1")(x).astype(self.dtype)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3,), padding=[(1, 1)], dtype=self.dtype, name="conv1")(h)
 
         emb = nn.Dense(2 * self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         scale, shift = jnp.split(emb[:, None, :], 2, axis=-1)
 
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm2")(h).astype(self.dtype)
         h = h * (1 + scale) + shift
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3,), padding=[(1, 1)], dtype=self.dtype, name="conv2")(h)
@@ -119,17 +121,17 @@ class TransformerBlock1D(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="norm")(x)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="norm")(x).astype(self.dtype)
         h = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(h)  # 1x1 conv == dense
 
         # BasicTransformerBlock: attn1 + attn2 (both self-attn at runtime) + GEGLU FF
         h = h + SelfAttention(self.channels, self.n_heads, dtype=self.dtype, name="attn1")(
-            nn.LayerNorm(name="norm1")(h)
+            nn.LayerNorm(name="norm1")(h).astype(self.dtype)
         )
         h = h + SelfAttention(self.channels, self.n_heads, dtype=self.dtype, name="attn2")(
-            nn.LayerNorm(name="norm2")(h)
+            nn.LayerNorm(name="norm2")(h).astype(self.dtype)
         )
-        ff_in = nn.LayerNorm(name="norm3")(h)
+        ff_in = nn.LayerNorm(name="norm3")(h).astype(self.dtype)
         gate = nn.Dense(8 * self.channels, dtype=self.dtype, name="ff_proj")(ff_in)
         a, g = jnp.split(gate, 2, axis=-1)
         h = h + nn.Dense(self.channels, dtype=self.dtype, name="ff_out")(a * nn.gelu(g, approximate=False))
@@ -207,6 +209,6 @@ class UNet1D(nn.Module):
             if i < n_blocks - 1:
                 h = Upsample1D(rev[i], dtype=self.dtype, name=f"up_{i}_upsample")(h)
 
-        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5, name="conv_norm_out")(h)
+        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5, name="conv_norm_out")(h).astype(self.dtype)
         h = nn.silu(h)
         return nn.Conv(cfg.out_channels, (3,), padding=[(1, 1)], dtype=self.dtype, name="conv_out")(h)

@@ -68,11 +68,11 @@ class EncoderLayer(nn.Module):
         v = nn.Dense(C, dtype=self.dtype, name="v")(x).reshape(B, T, self.n_heads, d)
         attn = dot_product_attention(q, k, v).reshape(B, T, C)
         attn = nn.Dense(C, dtype=self.dtype, name="out")(attn)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn).astype(self.dtype)
         h = nn.Dense(self.d_ff, dtype=self.dtype, name="ff1")(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(C, dtype=self.dtype, name="ff2")(h)
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h).astype(self.dtype)
 
 
 def compute_span_mask(

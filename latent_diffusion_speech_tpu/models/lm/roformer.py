@@ -234,19 +234,19 @@ class Layer(nn.Module):
             cache=cache, cache_index=cache_index, deterministic=deterministic,
             rotary_sincos=rotary_sincos,
         )
-        x = nn.LayerNorm(epsilon=eps, name="self_ln")(x + drop(h))
+        x = nn.LayerNorm(epsilon=eps, name="self_ln")(x + drop(h)).astype(self.dtype)
 
         if self.cross_attention and enc_states is not None:
             h, _ = Attention(self.cfg, use_rotary=False, dtype=self.dtype, name="cross_attn")(
                 x, kv_source=enc_states, mask=cross_mask, kv_override=cross_kv,
                 deterministic=deterministic,
             )
-            x = nn.LayerNorm(epsilon=eps, name="cross_ln")(x + drop(h))
+            x = nn.LayerNorm(epsilon=eps, name="cross_ln")(x + drop(h)).astype(self.dtype)
 
         h = nn.Dense(self.cfg.intermediate_size, dtype=self.dtype, name="ff_in")(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="ff_out")(h)
-        x = nn.LayerNorm(epsilon=eps, name="ff_ln")(x + drop(h))
+        x = nn.LayerNorm(epsilon=eps, name="ff_ln")(x + drop(h)).astype(self.dtype)
         return x, new_cache
 
 
@@ -285,7 +285,7 @@ class Roformer(nn.Module):
     def encode(self, phone, tone, spk_id=None, attention_mask=None, deterministic=True):
         """phone/tone (B, L) -> encoder states (B, L, C)."""
         x = self.phone_embed(phone) + self.tone_embed(tone)
-        x = self.enc_emb_ln(x)
+        x = self.enc_emb_ln(x).astype(self.dtype)
         if self.cfg.n_spk and self.cfg.n_spk > 1 and spk_id is not None:
             x = x + self.spk_embed(spk_id)
         x = self.enc_dropout(x, deterministic=deterministic)
@@ -301,14 +301,14 @@ class Roformer(nn.Module):
     def _lm_head(self, x):
         h = self.head_transform(x)
         h = nn.gelu(h, approximate=False)
-        h = self.head_ln(h)
+        h = self.head_ln(h).astype(self.dtype)
         logits = h @ self.semantic_embed.embedding.T.astype(h.dtype) + self.head_bias
         return logits
 
     def decode_train(self, semantic, enc_states, self_mask=None, cross_mask=None, deterministic=True):
         """semantic (B, S) ids -> logits (B, S, V). Causal."""
         x = self.semantic_embed(semantic) + self.dec_type_embed(jnp.zeros_like(semantic))
-        x = self.dec_emb_ln(x)
+        x = self.dec_emb_ln(x).astype(self.dtype)
         x = self.dec_dropout(x, deterministic=deterministic)
         sm = self_mask[:, None, None, :].astype(bool) if self_mask is not None else None
         cm = cross_mask[:, None, None, :].astype(bool) if cross_mask is not None else None
@@ -341,7 +341,7 @@ class Roformer(nn.Module):
         loop-invariant and live outside the decode scan).
         Returns (logits (B, V), new_caches)."""
         x = self.semantic_embed(token[:, None]) + self.dec_type_embed(jnp.zeros_like(token[:, None]))
-        x = self.dec_emb_ln(x)
+        x = self.dec_emb_ln(x).astype(self.dtype)
         cm = cross_mask[:, None, None, :].astype(bool) if cross_mask is not None else None
         positions = jnp.asarray([pos])
         rot = None

@@ -77,9 +77,9 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(epsilon=1e-5, name="attn_ln")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="attn_ln")(x).astype(self.dtype)
         x = x + MHA(self.n_state, self.n_head, dtype=self.dtype, name="attn")(h)
-        h = nn.LayerNorm(epsilon=1e-5, name="mlp_ln")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="mlp_ln")(x).astype(self.dtype)
         h = nn.Dense(4 * self.n_state, dtype=self.dtype, name="mlp_0")(h)
         h = nn.gelu(h, approximate=False)
         x = x + nn.Dense(self.n_state, dtype=self.dtype, name="mlp_2")(h)
