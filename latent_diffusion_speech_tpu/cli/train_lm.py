@@ -50,7 +50,21 @@ def main():
     loader = make_loader(cfg.data.train_path, True)
     val_loader = make_loader(cfg.data.valid_path, False)
     logger = MetricsLogger(tcfg.expdir, config_snapshot=config_to_dict(cfg))
-    trainer.train(loader, val_loader=val_loader, max_steps=args.max_steps, logger=logger)
+
+    # frozen diffusion stack for validation audio, main process only
+    # (reference `21_train_lm.py:30-34`); skipped when no diffusion ckpt exists
+    pipe = None
+    if process_index() == 0:
+        try:
+            from latent_diffusion_speech_tpu.infer.load import load_native_pipeline
+
+            pipe = load_native_pipeline(cfg)
+            pipe.lm = trainer.system
+        except Exception as exc:  # no trained diffusion yet — audio logging off
+            print(f"validation audio disabled (no frozen diffusion stack: {exc})")
+
+    trainer.train(loader, val_loader=val_loader, max_steps=args.max_steps, logger=logger,
+                  tts_pipeline=pipe)
 
 
 if __name__ == "__main__":

@@ -166,6 +166,31 @@ class LMTrainer:
         acc = top_k_accuracy(logits[:, :-1], batch["labels"][:, 1:], k=5)
         return {"val/loss": float(loss), "val/top5_acc": float(acc)}
 
+    def validate_audio(self, pipe, batch, logger, n_items: int = 1, seed: int = 0,
+                       method: str = "dpm-solver", infer_speedup: int = 50):
+        """Synthesize validation audio through the frozen diffusion stack.
+
+        Reference parity (`text2semantic/roformer/train.py:33-53`): during LM
+        validation, run generation with the CURRENT LM weights for a few val
+        utterances, decode tokens -> centroid units -> latent diffusion ->
+        vocoder, and log the audio.  `pipe` is a TTSPipeline whose diffusion/
+        vocoder are the frozen models; its LM params are swapped for the
+        in-training ones here."""
+        pipe.lm.params = self.system.params
+        mask = batch.get("encoder_attention_mask")
+        phones = np.asarray(batch["phone"])
+        tones = np.asarray(batch["tone"])
+        spk_ids = batch.get("spk_id")
+        for i in range(min(n_items, phones.shape[0])):
+            L = int(np.sum(np.asarray(mask)[i])) if mask is not None else phones.shape[1]
+            spk = int(np.asarray(spk_ids)[i].reshape(-1)[0]) if spk_ids is not None else 1
+            wav, sr = pipe.tts_from_phones(
+                phones[i, :L], tones[i, :L], spk_id=spk, seed=seed + i,
+                method=method, infer_speedup=infer_speedup,
+            )
+            if logger is not None and wav.size:
+                logger.log_audio(self.step, f"val/audio_{i}", wav, sr)
+
     def save(self):
         tcfg = self.cfg.text2semantic.train
         save_checkpoint(
@@ -186,7 +211,10 @@ class LMTrainer:
             self.opt_state = opt_state
         return True
 
-    def train(self, loader, val_loader=None, max_steps: Optional[int] = None, logger=None):
+    def train(self, loader, val_loader=None, max_steps: Optional[int] = None, logger=None,
+              tts_pipeline=None):
+        """tts_pipeline: optional TTSPipeline with the frozen diffusion/vocoder
+        (ref 21_train_lm.py:30-34) — enables validation audio synthesis."""
         tcfg = self.cfg.text2semantic.train
         for epoch in range(tcfg.epochs):
             for batch in loader:
@@ -196,7 +224,10 @@ class LMTrainer:
                 if self.step % tcfg.interval_val == 0:
                     if val_loader is not None and logger:
                         for vb in val_loader:
-                            logger.log(self.step, self.evaluate(self.device_put_batch(vb)))
+                            vb = self.device_put_batch(vb)
+                            logger.log(self.step, self.evaluate(vb))
+                            if tts_pipeline is not None:
+                                self.validate_audio(tts_pipeline, vb, logger)
                             break
                     self.save()
                 if max_steps and self.step >= max_steps:

@@ -214,6 +214,45 @@ class TestLMTrainer:
         ev = trainer.evaluate(b)
         assert 0.0 <= ev["val/top5_acc"] <= 1.0
 
+    def test_validate_audio_through_frozen_diffusion(self, pipeline_dir, tmp_path):
+        """Reference roformer/train.py:33-53: LM validation synthesizes audio
+        with the current LM weights through the frozen diffusion stack."""
+        from latent_diffusion_speech_tpu.infer import TTSPipeline
+        from latent_diffusion_speech_tpu.models.diffusion import Unit2MelSystem
+        from latent_diffusion_speech_tpu.models.vaegan import VAEGANConfig
+        from latent_diffusion_speech_tpu.models.vaegan.codec import HifiVAEGAN
+        from latent_diffusion_speech_tpu.models.vocoder import Vocoder
+
+        cfg = _tiny_config(tmp_path)
+        trainer = LMTrainer(cfg, lm_cfg=TINY_LM)
+        ds = TextDataset(pipeline_dir, semantic_bos=TINY_LM.semantic_bos,
+                         semantic_eos=TINY_LM.semantic_eos, n_spk=4)
+        batch = collate_text_batch([ds[0], ds[1]], phone_pad=TINY_LM.phone_pad,
+                                   semantic_pad=TINY_LM.semantic_pad, pad_multiple=8)
+
+        diffusion = Unit2MelSystem(TINY_MODEL)
+        vocoder = Vocoder("hifi-vaegan")
+        vocoder.vocoder = HifiVAEGAN.random_init(VAEGANConfig(
+            sampling_rate=800, inter_channels=MEL_DIM, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),), upsample_rates=(4, 2),
+            upsample_initial_channel=16, upsample_kernel_sizes=(8, 4),
+        ))
+        codebook = np.random.default_rng(0).standard_normal(
+            (TINY_LM.semantic_kmeans_num, UNIT_DIM)).astype(np.float32)
+        pipe = TTSPipeline(diffusion, vocoder, lm=trainer.system, codebook=codebook)
+
+        logged = []
+
+        class Cap:
+            def log_audio(self, step, tag, audio, sr):
+                logged.append((step, tag, np.asarray(audio), sr))
+
+        trainer.validate_audio(pipe, batch, Cap(), n_items=1, infer_speedup=10)
+        assert len(logged) == 1
+        _, tag, wav, sr = logged[0]
+        assert tag == "val/audio_0" and sr == 800
+        assert wav.ndim == 1 and np.isfinite(wav).all() and wav.size > 0
+
 
 class TestVQJointTraining:
     def test_vq_trains_with_diffusion(self, pipeline_dir, tmp_path):
