@@ -137,6 +137,34 @@ def main():
     np.asarray(last[0, 0])
     amortized_rtf = (time.perf_counter() - t0) / (KREQ * audio_seconds)
 
+    # batched serve: B=8 requests in ONE compiled chain (the AR decode runs
+    # all streams in lockstep, diffusion/vocoder batch trivially) — the
+    # device-throughput counterpart of the per-request latency above
+    BREQ = 8
+    phones_b = jnp.tile(phones, (BREQ, 1))
+    tones_b = jnp.tile(tones, (BREQ, 1))
+    spk_b = jnp.ones_like(phones_b)
+
+    def serve_batch(seed):
+        toks, _ = pipe.lm.generate(
+            phones_b, tones_b, spk_id=spk_b, max_length=N_TOKENS,
+            rng=jax.random.PRNGKey(seed),
+        )
+        units = tokens_to_units(codebook_arr, toks[:, :N_TOKENS])
+        return pipe.infer(
+            units, method="dpm-solver", infer_speedup=1000 // DIFFUSION_STEPS,
+            rng=jax.random.PRNGKey(seed),
+        )
+
+    wav_b = serve_batch(0)
+    np.asarray(wav_b[0, 0])  # compile+sync
+    t0 = time.perf_counter()
+    last = None
+    for i in range(3):
+        last = serve_batch(200 + i)
+    np.asarray(last[0, 0])
+    batch_rtf = (time.perf_counter() - t0) / (3 * BREQ * audio_seconds)
+
     # ---- stage drill-down (scalar-fetch synced) -----------------------------
     system = pipe.diffusion
     units_fixed = tokens_to_units(
@@ -265,6 +293,7 @@ def main():
                     "best_wall_s": round(best, 3),
                     "all_wall_s": [round(t, 3) for t in times],
                     "pipelined_throughput_rtf": round(amortized_rtf, 5),
+                    "batch8_throughput_rtf": round(batch_rtf, 5),
                     "lm_decode_s": round(t_lm, 3),
                     "diffusion_20step_s": round(t_diff, 4),
                     "vocoder_decode_s": round(t_voc, 4),
