@@ -35,6 +35,29 @@ class SamplingConfig:
     pad_token_id: int = 0
     bos_token_id: int = 0
     ban_until: int = 0  # ban token ids < ban_until (llama bad_words_ids)
+    # decode-scan unroll: compiles N step bodies per loop iteration, letting
+    # XLA fuse across steps and amortize loop bookkeeping (measured on v5e:
+    # 56 -> 50 us/token at unroll 4 for the flagship RoFormer decoder)
+    scan_unroll: int = 4
+
+
+def _top_k_vals(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Top-k VALUES (descending) of (B, V) logits.
+
+    `lax.top_k` lowers to a full-vocab sort on TPU — profiled at ~58% of the
+    whole AR decode step at V=4099.  For the small k used in sampling, k
+    rounds of (max, mask) are k cheap VPU reductions instead.  Exact except
+    that exactly-tied values collapse into one slot (measure-zero for real
+    logits; the effect is a slightly more permissive nucleus threshold)."""
+    if k > 16:
+        return jax.lax.top_k(logits, k)[0]
+    vals = []
+    x = logits
+    for _ in range(k):
+        m = jnp.max(x, axis=-1)
+        vals.append(m)
+        x = jnp.where(x >= m[:, None], -jnp.inf, x)
+    return jnp.stack(vals, axis=-1)
 
 
 def process_logits(
@@ -67,11 +90,11 @@ def process_logits(
         logits = logits / cfg.temperature
 
     if cfg.do_sample and cfg.top_k > 0 and cfg.top_p < 1.0:
-        # fused top-k + top-p: lax.top_k (partial sort) gives the k survivors
-        # already ordered, so the nucleus cutoff needs no full-vocab sort —
-        # the HF processor order (k then p) does two O(V log V) sorts per step
+        # fused top-k + top-p: the k survivors come out already ordered, so
+        # the nucleus cutoff needs no full-vocab sort — the HF processor
+        # order (k then p) does two O(V log V) sorts per step
         k = min(cfg.top_k, logits.shape[-1])
-        top_vals, _ = jax.lax.top_k(logits, k)  # (B, k), descending
+        top_vals = _top_k_vals(logits, k)  # (B, k), descending
         kth = top_vals[:, -1][:, None]
         probs = jax.nn.softmax(top_vals, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
@@ -81,7 +104,7 @@ def process_logits(
         logits = jnp.where(logits < jnp.maximum(thresh, kth), -jnp.inf, logits)
     elif cfg.do_sample and cfg.top_k > 0:
         k = min(cfg.top_k, logits.shape[-1])
-        top_vals, _ = jax.lax.top_k(logits, k)
+        top_vals = _top_k_vals(logits, k)
         logits = jnp.where(logits < top_vals[:, -1][:, None], -jnp.inf, logits)
     elif cfg.do_sample and cfg.top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
@@ -134,7 +157,9 @@ def ar_generate(
     rngs = jax.random.split(rng, cfg.max_new_tokens)
     idxs = jnp.arange(cfg.max_new_tokens)
     init = (init_carry, first_token, jnp.zeros((B,), bool), rep_mask)
-    _, (tokens, was_active) = jax.lax.scan(scan_step, init, (rngs, idxs))
+    _, (tokens, was_active) = jax.lax.scan(
+        scan_step, init, (rngs, idxs), unroll=max(1, cfg.scan_unroll)
+    )
 
     tokens = tokens.T  # (B, max_new_tokens)
     lengths = jnp.sum(was_active.T.astype(jnp.int32), axis=-1)
