@@ -158,6 +158,22 @@ class TestRoformerGenerate:
         out = process_logits(logits, mask, cfg)
         assert float(out[0, 0]) == 1.0 and float(out[0, 1]) == 2.0
 
+    def test_top_k_vals_matches_lax_top_k(self, rng):
+        """The sort-free (max, mask) extraction == lax.top_k values
+        (lax.top_k lowers to a full-vocab sort on TPU; see sampling.py)."""
+        from latent_diffusion_speech_tpu.models.lm.sampling import _top_k_vals
+
+        logits = jnp.asarray(rng.standard_normal((4, 4099)).astype(np.float32))
+        for k in (1, 5, 16):
+            ref = jax.lax.top_k(logits, k)[0]
+            np.testing.assert_array_equal(np.asarray(_top_k_vals(logits, k)),
+                                          np.asarray(ref))
+        # -inf-heavy rows (post-repetition-penalty shape) still work
+        masked = logits.at[:, 10:].set(-jnp.inf)
+        np.testing.assert_array_equal(
+            np.asarray(_top_k_vals(masked, 5)), np.asarray(jax.lax.top_k(masked, 5)[0])
+        )
+
 
 class TestLlamaParity:
     def test_logits_match_hf(self, rng):
