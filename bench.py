@@ -98,10 +98,11 @@ def main():
     # no-op (async enqueue); only a data fetch synchronizes with execution.
     # Every timed region below ends in a scalar fetch of the final output.
     def serve_once(seed, sync=True):
-        # 1. AR decode (the scan always runs max_new_tokens steps -> fixed work)
+        # 1. AR decode — whole-decode Pallas kernel on TPU (the serve
+        # default; the kernel always runs max_new_tokens steps -> fixed work)
         toks, _ = pipe.lm.generate(
             phones, tones, spk_id=spk, max_length=N_TOKENS,
-            rng=jax.random.PRNGKey(seed),
+            rng=jax.random.PRNGKey(seed), impl=pipe.lm_impl,
         )
         # 2. the *generated* tokens become the diffusion conditioning
         units = tokens_to_units(codebook_arr, toks[:, :N_TOKENS])
@@ -148,7 +149,7 @@ def main():
     def serve_batch(seed):
         toks, _ = pipe.lm.generate(
             phones_b, tones_b, spk_id=spk_b, max_length=N_TOKENS,
-            rng=jax.random.PRNGKey(seed),
+            rng=jax.random.PRNGKey(seed), impl=pipe.lm_impl,
         )
         units = tokens_to_units(codebook_arr, toks[:, :N_TOKENS])
         return pipe.infer(
@@ -202,7 +203,10 @@ def main():
 
     t_lm = time_fn(lambda i: pipe.lm.generate(
         phones, tones, spk_id=spk, max_length=N_TOKENS,
-        rng=jax.random.PRNGKey(9 + i))[0])
+        rng=jax.random.PRNGKey(9 + i), impl=pipe.lm_impl)[0])
+    t_lm_scan = time_fn(lambda i: pipe.lm.generate(
+        phones, tones, spk_id=spk, max_length=N_TOKENS,
+        rng=jax.random.PRNGKey(9 + i), impl="xla")[0])
     t_diff = time_fn(lambda i: diff_jit(system.params, units_fixed + 1e-6 * (i + 1),
                                         jax.random.PRNGKey(9 + i)))
     t_voc = time_fn(lambda i: voc_jit(voc.generator_params, mel + 1e-6 * (i + 1)))
@@ -294,7 +298,9 @@ def main():
                     "all_wall_s": [round(t, 3) for t in times],
                     "pipelined_throughput_rtf": round(amortized_rtf, 5),
                     "batch8_throughput_rtf": round(batch_rtf, 5),
-                    "lm_decode_s": round(t_lm, 3),
+                    "lm_decode_s": round(t_lm, 4),
+                    "lm_decode_scan_s": round(t_lm_scan, 4),
+                    "lm_impl": pipe.lm_impl,
                     "diffusion_20step_s": round(t_diff, 4),
                     "vocoder_decode_s": round(t_voc, 4),
                     "denoiser_steps_per_s": round(denoiser_steps_per_s, 1),

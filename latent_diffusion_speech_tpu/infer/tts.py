@@ -45,12 +45,20 @@ class TTSPipeline:
         lm: Optional[RoformerSystem] = None,
         codebook: Optional[np.ndarray] = None,
         units_encoder=None,
+        lm_impl: str = "auto",
     ):
         self.diffusion = diffusion
         self.vocoder = vocoder
         self.lm = lm
         self.codebook = EuclideanCodebook(codebook) if codebook is not None else None
         self.units_encoder = units_encoder
+        if lm_impl == "auto":
+            # the whole-decode Pallas kernel (ops/pallas/ar_decode.py) is
+            # TPU-only; anywhere else (CPU tests, virtual meshes) use the scan
+            d = jax.devices()[0]
+            on_tpu = d.platform == "tpu" or "tpu" in getattr(d, "device_kind", "").lower()
+            lm_impl = "pallas" if on_tpu else "xla"
+        self.lm_impl = lm_impl
         # one compiled program per (T_bucket, method, speedup): condition ->
         # diffusion scan -> vocoder decode, fused end-to-end (eager dispatch
         # over a tunneled TPU is catastrophic for the sampler's ~2k ops)
@@ -81,7 +89,7 @@ class TTSPipeline:
         tones = jnp.asarray(np.asarray(tones)[None])
         tokens, lengths = self.lm.generate(
             phones, tones, spk_id=spk_id, max_length=max_length, top_k=top_k,
-            end_gate_threshold=end_gate_threshold, rng=rng,
+            end_gate_threshold=end_gate_threshold, rng=rng, impl=self.lm_impl,
         )
         n = int(lengths[0])
         toks = np.asarray(tokens)[0, :n]
@@ -237,7 +245,7 @@ class TTSPipeline:
             spk_id=jnp.asarray(spk)[:, None] * jnp.ones((1, L), jnp.int32),
             attention_mask=jnp.asarray(enc_mask),
             max_length=max_length, top_k=top_k,
-            end_gate_threshold=end_gate_threshold, rng=r1,
+            end_gate_threshold=end_gate_threshold, rng=r1, impl=self.lm_impl,
         )
         tokens_np = np.asarray(tokens)
         lengths_np = np.asarray(lengths)
