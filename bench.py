@@ -115,9 +115,14 @@ def main():
             np.asarray(wav[0, 0])
         return wav
 
-    # warmup / compile
+    # warmup / compile + PRIME: the relay's first executions of a fresh
+    # program run well below steady state (measured: the first ~30 runs of
+    # the train step are ~50x slower, then settle) — prime before timing
     wav = serve_once(0)
     audio_seconds = wav.shape[-1] / 44100.0
+    for i in range(6):
+        serve_once(50 + i, sync=False)
+    np.asarray(wav[0, 0])
 
     # single-request latency (each request fully synced)
     times = []
@@ -261,9 +266,13 @@ def main():
             trainer.system.params, trainer.opt_state, batch,
             jax.random.PRNGKey(0), trainer.vq_state).compile()
     )
-    # warmup/compile
+    # warmup/compile + prime (the first ~30 executions of a fresh program
+    # through the relay run far below steady state)
     metrics = trainer.train_step(batch, jax.random.PRNGKey(1))
     float(metrics["loss"])  # sync
+    for i in range(30):
+        metrics = trainer.train_step(batch, jax.random.PRNGKey(200 + i))
+    float(metrics["loss"])
     # latency: one step, fetch-synced (includes the ~30 ms relay round-trip)
     steps = []
     for i in range(3):
@@ -282,6 +291,33 @@ def main():
     float(metrics["loss"])
     t_train = (time.perf_counter() - t0) / N_CHAIN
     mfu_train = flops_train / t_train / peak if (peak and flops_train) else None
+
+    # large-batch training point (the reference trains at batch 500; B=256
+    # of 1 s crops is the closest production geometry that fits one chip)
+    B2 = 256
+    batch2 = trainer.device_put_batch({
+        "units": rng_np.standard_normal((B2, T, 1280)).astype(np.float32),
+        "mel": rng_np.standard_normal((B2, T, 128)).astype(np.float32),
+        "spk_id": np.ones((B2, 1), np.int32),
+    })
+    flops_train_b256 = compiled_flops(
+        trainer._train_step.lower(
+            trainer.system.params, trainer.opt_state, batch2,
+            jax.random.PRNGKey(0), trainer.vq_state).compile()
+    )
+    metrics = trainer.train_step(batch2, jax.random.PRNGKey(500))
+    float(metrics["loss"])
+    for i in range(30):
+        metrics = trainer.train_step(batch2, jax.random.PRNGKey(600 + i))
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(N_CHAIN):
+        metrics = trainer.train_step(batch2, jax.random.PRNGKey(700 + i))
+    float(metrics["loss"])
+    t_train_b256 = (time.perf_counter() - t0) / N_CHAIN
+    mfu_train_b256 = (
+        flops_train_b256 / t_train_b256 / peak if (peak and flops_train_b256) else None
+    )
 
     print(
         json.dumps(
@@ -309,9 +345,14 @@ def main():
                     "mfu_train_b64": round(mfu_train, 4) if mfu_train else None,
                     "train_step_b64_s": round(t_train, 4),
                     "train_step_b64_latency_s": round(t_train_latency, 4),
+                    "train_samples_per_s_b64": round(B / t_train, 1),
+                    "mfu_train_b256": round(mfu_train_b256, 4) if mfu_train_b256 else None,
+                    "train_step_b256_s": round(t_train_b256, 4),
+                    "train_samples_per_s_b256": round(B2 / t_train_b256, 1),
                     "flops": {
                         "lm_generate": flops_lm, "diffusion_20step": flops_diff,
                         "vocoder": flops_voc, "train_step_b64": flops_train,
+                        "train_step_b256": flops_train_b256,
                         "peak_bf16": peak,
                     },
                     "sync": "scalar-fetch (relay block_until_ready is async); "

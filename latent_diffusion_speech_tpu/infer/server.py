@@ -1,0 +1,137 @@
+"""Dynamic-batching TTS serve loop.
+
+The reference serves one request at a time through a CLI
+(`22_infer_tts.py`); on TPU the batched chain is ~3x cheaper per request
+(`TTSPipeline.tts_batch`: one LM decode for all streams, diffusion+vocoder
+once per length bucket), so a production server should coalesce concurrent
+requests.  `TTSServer` is that loop: callers `submit()` from any thread and
+get a future; a single dispatch thread drains the queue, waits up to
+`max_wait_ms` for a batch to fill (never delaying a lone request longer than
+that), runs the batched pipeline, and resolves the futures.
+
+One dispatch thread means one device client — requests never contend for
+the chip, and every compiled call comes from the same shape-bucketed cache.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Optional
+
+__all__ = ["TTSServer", "TTSRequest"]
+
+
+@dataclass
+class TTSRequest:
+    text: str
+    language: str = "ZH"
+    spk_id: int = 1
+    seed: int = 0
+    future: Future = field(default_factory=Future)
+
+
+class TTSServer:
+    def __init__(
+        self,
+        pipeline,
+        max_batch: int = 8,
+        max_wait_ms: float = 30.0,
+        method: str = "dpm-solver",
+        infer_speedup: int = 50,
+        max_length: int = 1024,
+    ):
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self.method = method
+        self.infer_speedup = infer_speedup
+        self.max_length = max_length
+        self._queue: "queue.Queue[Optional[TTSRequest]]" = queue.Queue()
+        self._closed = False
+        self.batches_served = 0
+        self.requests_served = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client API ----------------------------------------------------------
+
+    def submit(self, text: str, language: str = "ZH", spk_id: int = 1,
+               seed: int = 0) -> Future:
+        """Enqueue a request; the future resolves to (waveform, sample_rate)."""
+        if self._closed:
+            raise RuntimeError("server is closed")
+        req = TTSRequest(text, language, spk_id, seed)
+        self._queue.put(req)
+        return req.future
+
+    def close(self):
+        """Drain outstanding requests, then stop the dispatch thread."""
+        if not self._closed:
+            self._closed = True
+            self._queue.put(None)
+            self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- dispatch loop -------------------------------------------------------
+
+    def _collect(self):
+        """Block for one request, then batch up to max_batch compatible ones
+        within max_wait_ms.  Returns (requests, saw_sentinel)."""
+        first = self._queue.get()
+        if first is None:
+            return [], True
+        batch = [first]
+        deadline = max(self.max_wait_ms, 0.0) / 1e3
+        saw_sentinel = False
+        while len(batch) < self.max_batch:
+            try:
+                nxt = self._queue.get(timeout=deadline)
+            except queue.Empty:
+                break
+            if nxt is None:
+                saw_sentinel = True
+                break
+            if nxt.language != first.language:
+                # languages batch separately (different frontends); requeue
+                self._queue.put(nxt)
+                break
+            batch.append(nxt)
+        return batch, saw_sentinel
+
+    def _loop(self):
+        while True:
+            batch, stop = self._collect()
+            if batch:
+                try:
+                    results = self.pipeline.tts_batch(
+                        [r.text for r in batch],
+                        language=batch[0].language,
+                        spk_ids=[r.spk_id for r in batch],
+                        method=self.method,
+                        infer_speedup=self.infer_speedup,
+                        max_length=self.max_length,
+                        seed=batch[0].seed,
+                    )
+                    for req, res in zip(batch, results):
+                        req.future.set_result(res)
+                except Exception as e:  # noqa: BLE001 — delivered to callers
+                    for req in batch:
+                        if not req.future.done():
+                            req.future.set_exception(e)
+                self.batches_served += 1
+                self.requests_served += len(batch)
+            if stop:
+                # keep draining anything still queued before exiting;
+                # re-arm the sentinel so the next _collect() terminates too
+                if not self._queue.empty():
+                    self._queue.put(None)
+                    continue
+                return
