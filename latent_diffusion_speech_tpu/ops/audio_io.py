@@ -14,7 +14,7 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["read_wav", "write_wav", "load_audio"]
+__all__ = ["read_wav", "write_wav", "wav_bytes", "load_audio"]
 
 
 def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:
@@ -63,7 +63,8 @@ def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:
     return samples, sample_rate
 
 
-def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int, subtype: str = "pcm16") -> None:
+def wav_bytes(samples: np.ndarray, sample_rate: int, subtype: str = "pcm16") -> bytes:
+    """Encode samples as a RIFF/WAVE byte string (for files or HTTP bodies)."""
     samples = np.asarray(samples)
     if samples.ndim == 1:
         samples = samples[:, None]
@@ -81,7 +82,7 @@ def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int, subtype: 
     byte_rate = sample_rate * n_channels * bits // 8
     block_align = n_channels * bits // 8
     fmt_chunk = struct.pack("<HHIIHH", audio_format, n_channels, sample_rate, byte_rate, block_align, bits)
-    out = b"".join(
+    return b"".join(
         [
             b"RIFF",
             struct.pack("<I", 4 + 8 + len(fmt_chunk) + 8 + len(body)),
@@ -94,7 +95,10 @@ def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int, subtype: 
             body,
         ]
     )
-    Path(path).write_bytes(out)
+
+
+def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int, subtype: str = "pcm16") -> None:
+    Path(path).write_bytes(wav_bytes(samples, sample_rate, subtype))
 
 
 def load_audio(

@@ -75,3 +75,57 @@ def test_server_close_drains_queue(pipeline, monkeypatch):  # noqa: F811
     for f in futures:
         wav, sr = f.result(timeout=1)
         assert np.isfinite(wav).all()
+
+
+class TestHTTPEndpoint:
+    def test_http_tts_and_healthz(self, pipeline, monkeypatch):  # noqa: F811
+        import io
+        import json
+        import threading
+        import urllib.request
+        import wave
+        from http.server import ThreadingHTTPServer
+
+        from latent_diffusion_speech_tpu.cli.serve import make_handler
+
+        _patch_frontend(monkeypatch, pipeline)
+        with TTSServer(
+            pipeline, max_batch=4, max_wait_ms=50, method="ddim",
+            infer_speedup=25, max_length=8,
+        ) as server:
+            httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+            port = httpd.server_address[1]
+            t = threading.Thread(target=httpd.serve_forever, daemon=True)
+            t.start()
+            try:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/tts",
+                    data=json.dumps({"text": "hello", "spk_id": 2}).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req, timeout=300) as resp:
+                    assert resp.status == 200
+                    assert resp.headers["Content-Type"] == "audio/wav"
+                    body = resp.read()
+                with wave.open(io.BytesIO(body)) as wf:
+                    assert wf.getframerate() == 8000
+                    assert wf.getnframes() > 0
+
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=30
+                ) as resp:
+                    stats = json.loads(resp.read())
+                assert stats["ok"] and stats["requests_served"] == 1
+
+                # malformed request -> 400, not a server crash
+                bad = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/tts", data=b"{}",
+                    headers={"Content-Type": "application/json"},
+                )
+                try:
+                    urllib.request.urlopen(bad, timeout=30)
+                    assert False, "expected HTTPError"
+                except urllib.error.HTTPError as e:
+                    assert e.code == 400
+            finally:
+                httpd.shutdown()
