@@ -446,6 +446,17 @@ class RoformerSystem:
         nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
         return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
 
+    def _decode_fits_vmem(self, batch: int, max_new_tokens: int) -> bool:
+        """Empirical VMEM capacity bound for the whole-decode Pallas kernel.
+
+        The f32 KV caches scale as nl * B * N * C; measured on v5e (16 MB
+        scoped VMEM): flagship B=8 x 430 tokens fits, B=16 wants 27 MB.  The
+        threshold is anchored to that measurement."""
+        dcfg = self.cfg.decoder
+        nr = -(-max_new_tokens // 8) * 8
+        score = dcfg.num_hidden_layers * batch * nr * dcfg.hidden_size
+        return score <= 8 * 440 * 256
+
     @partial(jax.jit, static_argnames=("self", "sampling", "impl"))
     def _generate(self, params, phone, tone, spk_id, enc_mask, sampling: SamplingConfig,
                   rng, impl: str = "xla"):
@@ -461,6 +472,12 @@ class RoformerSystem:
             {"params": params}, enc, method=self.module.compute_cross_kv
         )
 
+        if impl == "pallas" and not self._decode_fits_vmem(B, sampling.max_new_tokens):
+            # the kernel keeps per-stream KV caches in VMEM; past ~8 flagship
+            # streams the scoped allocation exceeds the 16 MB core VMEM
+            # (measured: B=16 x 430 tokens wants 27 MB) — large batches are
+            # throughput-bound anyway, where the scan path batches well
+            impl = "xla"
         if impl == "pallas":
             # the whole decode loop as ONE Pallas kernel with VMEM-resident
             # weights/KV-cache (ops/pallas/ar_decode.py) — ~3x faster than
