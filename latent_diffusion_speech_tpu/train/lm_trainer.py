@@ -135,12 +135,18 @@ class LMTrainer:
 
         return shard_batch(self.mesh, batch)
 
+    # NaN guard cadence: the reference checks every step (`train.py:133-134`),
+    # but `float(loss)` is a device fetch — a full ~30 ms sync through a
+    # tunneled TPU — so the guard runs every N steps (a NaN still raises
+    # within N steps of appearing; the async step stream stays unbroken)
+    nan_check_interval: int = 50
+
     def train_step(self, batch) -> Dict[str, float]:
         dropout_rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.text2semantic.train.seed), self.step)
         params, opt_state, loss, gnorm = self._train_step(
             self.system.params, self.opt_state, batch, dropout_rng
         )
-        if not np.isfinite(float(loss)):
+        if self.step % self.nan_check_interval == 0 and not np.isfinite(float(loss)):
             raise RuntimeError(f"NaN/Inf LM loss at step {self.step}")  # ref train.py:133-134
         self.system.params = params
         self.opt_state = opt_state
