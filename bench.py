@@ -120,9 +120,10 @@ def main():
     # the train step are ~50x slower, then settle) — prime before timing
     wav = serve_once(0)
     audio_seconds = wav.shape[-1] / 44100.0
+    last = None
     for i in range(6):
-        serve_once(50 + i, sync=False)
-    np.asarray(wav[0, 0])
+        last = serve_once(50 + i, sync=False)
+    np.asarray(last[0, 0])  # barrier on the LAST primed call
 
     # single-request latency (each request fully synced)
     times = []
@@ -193,13 +194,18 @@ def main():
     voc_jit = jax.jit(lambda gp, mel: voc.generator.apply({"params": gp}, mel))
     _ = np.asarray(voc_jit(voc.generator_params, mel)[0, 0])
 
-    def time_fn(fn, n=8):
+    def time_fn(fn, n=8, n_prime=20):
         """Chained timing: enqueue n varying executions, fetch once at the end
         (single-device execution is in-order) — amortizes the ~30 ms relay
         round-trip out of the per-call figure.  Inputs vary per iteration
-        because the relay memoizes identical executions."""
+        because the relay memoizes identical executions; a priming chain runs
+        first because the relay's first executions of a fresh program are far
+        below steady state."""
         out = fn(0)
-        np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])  # warm
+        np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])  # compile
+        for i in range(1, n_prime + 1):
+            out = fn(1000 + i)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])  # primed
         t0 = time.perf_counter()
         for i in range(1, n + 1):
             out = fn(i)

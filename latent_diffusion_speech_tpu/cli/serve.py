@@ -63,17 +63,19 @@ def make_handler(tts_server, timeout_s: float = 300.0):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("body must be a JSON object")
                 text = req["text"]
-            except (ValueError, KeyError) as e:
+                if not isinstance(text, str):
+                    raise ValueError("'text' must be a string")
+                language = str(req.get("language", "ZH"))
+                spk_id = int(req.get("spk_id", 1))
+                seed = int(req.get("seed", 0))
+            except (ValueError, KeyError, TypeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
             try:
-                fut = tts_server.submit(
-                    text,
-                    language=req.get("language", "ZH"),
-                    spk_id=int(req.get("spk_id", 1)),
-                    seed=int(req.get("seed", 0)),
-                )
+                fut = tts_server.submit(text, language=language, spk_id=spk_id, seed=seed)
                 wav, sr = fut.result(timeout=timeout_s)
             except Exception as e:  # noqa: BLE001 — surfaced to the client
                 self._json(500, {"error": str(e)})

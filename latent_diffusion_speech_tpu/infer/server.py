@@ -50,7 +50,9 @@ class TTSServer:
         self.infer_speedup = infer_speedup
         self.max_length = max_length
         self._queue: "queue.Queue[Optional[TTSRequest]]" = queue.Queue()
+        self._pending: Optional[TTSRequest] = None  # dispatch-thread only
         self._closed = False
+        self._lifecycle = threading.Lock()  # orders submit() vs close()
         self.batches_served = 0
         self.requests_served = 0
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -61,18 +63,24 @@ class TTSServer:
     def submit(self, text: str, language: str = "ZH", spk_id: int = 1,
                seed: int = 0) -> Future:
         """Enqueue a request; the future resolves to (waveform, sample_rate)."""
-        if self._closed:
-            raise RuntimeError("server is closed")
         req = TTSRequest(text, language, spk_id, seed)
-        self._queue.put(req)
+        with self._lifecycle:
+            # under the lock, either the sentinel is not yet queued (the
+            # dispatcher will see this request before it) or we raise —
+            # a future returned by submit() always resolves
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._queue.put(req)
         return req.future
 
     def close(self):
         """Drain outstanding requests, then stop the dispatch thread."""
-        if not self._closed:
+        with self._lifecycle:
+            if self._closed:
+                return
             self._closed = True
             self._queue.put(None)
-            self._thread.join()
+        self._thread.join()
 
     def __enter__(self):
         return self
@@ -84,24 +92,36 @@ class TTSServer:
 
     def _collect(self):
         """Block for one request, then batch up to max_batch compatible ones
-        within max_wait_ms.  Returns (requests, saw_sentinel)."""
-        first = self._queue.get()
+        arriving within max_wait_ms of the FIRST (the window does not restart
+        per arrival, so no request waits longer than max_wait_ms to dispatch).
+        Returns (requests, saw_sentinel)."""
+        import time as _time
+
+        first = self._pending or self._queue.get()
+        self._pending = None
         if first is None:
             return [], True
         batch = [first]
-        deadline = max(self.max_wait_ms, 0.0) / 1e3
+        deadline = _time.monotonic() + max(self.max_wait_ms, 0.0) / 1e3
         saw_sentinel = False
         while len(batch) < self.max_batch:
+            remaining = deadline - _time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                nxt = self._queue.get(timeout=deadline)
+                nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
             if nxt is None:
                 saw_sentinel = True
                 break
-            if nxt.language != first.language:
-                # languages batch separately (different frontends); requeue
-                self._queue.put(nxt)
+            if nxt.language != first.language or nxt.seed != first.seed:
+                # languages batch separately (different frontends), and
+                # tts_batch takes one seed — unlike seeds dispatch separately
+                # so every request's seed is honored; the incompatible request
+                # becomes the next batch's first (requeueing would let it
+                # starve behind a steady stream of compatible arrivals)
+                self._pending = nxt
                 break
             batch.append(nxt)
         return batch, saw_sentinel
@@ -129,9 +149,10 @@ class TTSServer:
                 self.batches_served += 1
                 self.requests_served += len(batch)
             if stop:
-                # keep draining anything still queued before exiting;
-                # re-arm the sentinel so the next _collect() terminates too
-                if not self._queue.empty():
+                # keep draining anything still queued (or held pending)
+                # before exiting; re-arm the sentinel so the next _collect()
+                # terminates too
+                if self._pending is not None or not self._queue.empty():
                     self._queue.put(None)
                     continue
                 return

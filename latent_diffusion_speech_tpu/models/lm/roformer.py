@@ -446,16 +446,17 @@ class RoformerSystem:
         nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
         return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
 
-    def _decode_fits_vmem(self, batch: int, max_new_tokens: int) -> bool:
+    def _decode_fits_vmem(self, batch: int, max_new_tokens: int, enc_len: int) -> bool:
         """Empirical VMEM capacity bound for the whole-decode Pallas kernel.
 
-        The f32 KV caches scale as nl * B * N * C; measured on v5e (16 MB
-        scoped VMEM): flagship B=8 x 430 tokens fits, B=16 wants 27 MB.  The
-        threshold is anchored to that measurement."""
+        The scaling operands are the f32 self-attn KV caches (nl * B * N * C)
+        and the cross-attention K/V (nl * B * L * C each); measured on v5e
+        (16 MB scoped VMEM): flagship B=8 x 430 tokens x L=48 fits, B=16
+        wants 27 MB.  The threshold is anchored to that measurement."""
         dcfg = self.cfg.decoder
         nr = -(-max_new_tokens // 8) * 8
-        score = dcfg.num_hidden_layers * batch * nr * dcfg.hidden_size
-        return score <= 8 * 440 * 256
+        score = dcfg.num_hidden_layers * batch * (nr + 2 * enc_len) * dcfg.hidden_size
+        return score <= 8 * (440 + 2 * 64) * 256
 
     @partial(jax.jit, static_argnames=("self", "sampling", "impl"))
     def _generate(self, params, phone, tone, spk_id, enc_mask, sampling: SamplingConfig,
@@ -472,11 +473,17 @@ class RoformerSystem:
             {"params": params}, enc, method=self.module.compute_cross_kv
         )
 
-        if impl == "pallas" and not self._decode_fits_vmem(B, sampling.max_new_tokens):
+        if impl == "pallas" and not self._decode_fits_vmem(
+            B, sampling.max_new_tokens, phone.shape[1]
+        ):
             # the kernel keeps per-stream KV caches in VMEM; past ~8 flagship
             # streams the scoped allocation exceeds the 16 MB core VMEM
             # (measured: B=16 x 430 tokens wants 27 MB) — large batches are
             # throughput-bound anyway, where the scan path batches well
+            impl = "xla"
+        if impl == "pallas" and sampling.do_sample and sampling.top_k <= 0 and sampling.top_p < 1.0:
+            # the kernel's nucleus cutoff rides the top-k values; pure top-p
+            # (top_k=0) would need a full-vocab sort in-kernel — use the scan
             impl = "xla"
         if impl == "pallas":
             # the whole decode loop as ONE Pallas kernel with VMEM-resident

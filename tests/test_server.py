@@ -129,3 +129,20 @@ class TestHTTPEndpoint:
                     assert e.code == 400
             finally:
                 httpd.shutdown()
+
+
+def test_server_separates_unlike_seeds(pipeline, monkeypatch):  # noqa: F811
+    """tts_batch takes one seed, so requests with different seeds must
+    dispatch as separate batches (every request's seed honored)."""
+    _patch_frontend(monkeypatch, pipeline)
+    with TTSServer(
+        pipeline, max_batch=4, max_wait_ms=300, method="ddim",
+        infer_speedup=25, max_length=8,
+    ) as server:
+        f1 = server.submit("a", seed=1)
+        f2 = server.submit("bb", seed=2)
+        for f in (f1, f2):
+            wav, sr = f.result(timeout=120)
+            assert np.isfinite(wav).all()
+    assert server.requests_served == 2
+    assert server.batches_served == 2
