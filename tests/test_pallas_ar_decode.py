@@ -105,3 +105,28 @@ def test_generate_impl_pallas_entry(lm, rng):
     )
     np.testing.assert_array_equal(np.asarray(toks_a), np.asarray(toks_b))
     np.testing.assert_array_equal(np.asarray(lens_a), np.asarray(lens_b))
+
+
+def test_greedy_end_gate_matches_scan_path(lm, rng):
+    """The end-gate processor (force EOS when p(EOS) > threshold,
+    reference roformer.py:49-57) must behave identically in-kernel."""
+    B, L, N = 1, 9, 16
+    phones = jnp.asarray(rng.integers(1, 60, (B, L)).astype(np.int32))
+    tones = jnp.asarray(rng.integers(0, 5, (B, L)).astype(np.int32))
+    spk = jnp.ones_like(phones)
+
+    # a tiny threshold fires the gate immediately -> EOS at step 0, len 1
+    toks_ref, lens_ref = lm.generate(
+        phones, tones, spk_id=spk, max_length=N, do_sample=False,
+        end_gate_threshold=1e-9, rng=jax.random.PRNGKey(0),
+    )
+    sampling = SamplingConfig(
+        max_new_tokens=N, do_sample=False, end_gate_threshold=1e-9,
+        eos_token_id=lm.cfg.semantic_eos, pad_token_id=lm.cfg.semantic_pad,
+        bos_token_id=lm.cfg.semantic_bos,
+    )
+    toks_p, lens_p = _pallas_decode(lm, phones, tones, spk, sampling)
+    np.testing.assert_array_equal(np.asarray(toks_p), np.asarray(toks_ref))
+    np.testing.assert_array_equal(np.asarray(lens_p), np.asarray(lens_ref))
+    assert int(lens_p[0]) == 1 and int(toks_p[0, 0]) == lm.cfg.semantic_eos
+    assert (np.asarray(toks_p)[0, 1:] == lm.cfg.semantic_pad).all()
