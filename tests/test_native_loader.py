@@ -15,6 +15,15 @@ def reader():
     return NativeNpyReader(num_threads=4)
 
 
+
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 class TestNativeReader:
     def test_probe(self, tmp_path, reader, rng):
         arr = rng.standard_normal((100, 8)).astype(np.float32)
@@ -68,14 +77,18 @@ class TestNativeReader:
             files.append(p)
         starts = [10] * 64
 
-        t0 = time.perf_counter()
+        # best-of-3 for both paths: wall-clock ratios flake under parallel
+        # test-suite CPU load (the threads share cores with other workers)
+        t_native = min(
+            _timed(lambda: reader.read_batch(files, starts, 300, (128,)))
+            for _ in range(3)
+        )
+        t_numpy = min(
+            _timed(lambda: np.stack([np.load(f)[10:310] for f in files]))
+            for _ in range(3)
+        )
         out = reader.read_batch(files, starts, 300, (128,))
-        t_native = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
         ref = np.stack([np.load(f)[10:310] for f in files])
-        t_numpy = time.perf_counter() - t0
-
         np.testing.assert_array_equal(out, ref)
         # very loose bound (typically 3-5x faster); guards against the native
         # path being pathologically slower without flaking under CI load
