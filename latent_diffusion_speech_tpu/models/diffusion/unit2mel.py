@@ -112,13 +112,15 @@ class Unit2MelSystem:
             probe_units = jnp.zeros((1, 8, cfg.input_channel))
             probe_spk = jnp.zeros((1, 8), jnp.int32) + 1
             probe_scalar = jnp.zeros((1, 8))
-            params = self.module.init(
-                jax.random.PRNGKey(seed),
-                probe_units,
-                volume=probe_scalar if not cfg.is_tts else None,
-                spk_id=probe_spk,
-                aug_shift=probe_scalar if cfg.use_pitch_aug else None,
-            )["params"]
+            vol = probe_scalar if not cfg.is_tts else None
+            aug = probe_scalar if cfg.use_pitch_aug else None
+
+            # one compiled init program: eager flax init dispatches every
+            # param-creating op separately (minutes through a tunneled TPU)
+            def _init(rng, units, spk):
+                return self.module.init(rng, units, volume=vol, spk_id=spk, aug_shift=aug)
+
+            params = jax.jit(_init)(jax.random.PRNGKey(seed), probe_units, probe_spk)["params"]
         self.params = params
         self.diffusion = GaussianDiffusion(
             denoise_fn=self._denoise,

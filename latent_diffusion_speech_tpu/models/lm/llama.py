@@ -182,7 +182,8 @@ class LlamaSystem:
         self.module = Llama(cfg, dtype=dtype)
         if params is None:
             probe = jnp.zeros((1, 4), jnp.int32)
-            params = self.module.init(jax.random.PRNGKey(seed), probe)["params"]
+            # jitted init: one compiled program instead of per-param dispatch
+            params = jax.jit(self.module.init)(jax.random.PRNGKey(seed), probe)["params"]
             if codebook is not None and codebook.shape[1] == cfg.hidden_size:
                 emb = np.asarray(params["embed_tokens"]["embedding"])
                 # reference warm-start slice (llama.py:69)

@@ -385,7 +385,10 @@ class RoformerSystem:
         self.module = Roformer(cfg, dtype=dtype)
         if params is None:
             p = jnp.zeros((1, 4), jnp.int32)
-            params = self.module.init(jax.random.PRNGKey(seed), p, p, p, spk_id=p)["params"]
+            # jitted init: one compiled program instead of per-param dispatch
+            params = jax.jit(lambda r, a: self.module.init(r, a, a, a, spk_id=a))(
+                jax.random.PRNGKey(seed), p
+            )["params"]
             if codebook is not None and codebook.shape[1] == cfg.decoder.hidden_size:
                 # warm-start semantic embedding rows from k-means centroids
                 emb = np.asarray(params["semantic_embed"]["embedding"])

@@ -56,7 +56,7 @@ class WhisperLargeV3Units:
             self.dims = dims or WhisperDims()
             self.model = WhisperEncoder(self.dims, dtype=dtype)
             probe = jnp.zeros((1, self.dims.n_mels, 8))
-            self.params = self.model.init(jax.random.PRNGKey(seed), probe)["params"]
+            self.params = jax.jit(self.model.init)(jax.random.PRNGKey(seed), probe)["params"]
         self._apply = jax.jit(lambda p, mel: self.model.apply({"params": p}, mel))
 
     def __call__(self, audio16k: jnp.ndarray) -> jnp.ndarray:
@@ -85,7 +85,7 @@ class HubertSoftUnits:
             self.params = jax.tree_util.tree_map(jnp.asarray, hubert_params_from_torch(state))
         else:
             probe = jnp.zeros((1, 960))
-            self.params = self.model.init(jax.random.PRNGKey(seed), probe)["params"]
+            self.params = jax.jit(self.model.init)(jax.random.PRNGKey(seed), probe)["params"]
         self._units = jax.jit(
             lambda p, wav: self.model.apply({"params": p}, wav, method=self.model.units)
         )
@@ -140,7 +140,7 @@ class Wav2Vec2BertUnits:
                 self.cfg = W2vBertConfig()
                 self.model = W2vBertModel(self.cfg, dtype=dtype)
                 probe = jnp.zeros((1, 4, self.cfg.feature_projection_input_dim))
-                self.params = self.model.init(jax.random.PRNGKey(seed), probe)["params"]
+                self.params = jax.jit(self.model.init)(jax.random.PRNGKey(seed), probe)["params"]
                 self._apply = jax.jit(lambda p, f: self.model.apply({"params": p}, f))
                 return
         self.model = W2vBertModel(self.cfg, dtype=dtype)
@@ -186,7 +186,7 @@ class XLSRUnits:
         else:
             self.cfg = Wav2Vec2Config()
             self.model = Wav2Vec2Encoder(self.cfg, dtype=dtype)
-            self.params = self.model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 1600)))["params"]
+            self.params = jax.jit(self.model.init)(jax.random.PRNGKey(seed), jnp.zeros((1, 1600)))["params"]
             self._apply = jax.jit(lambda p, w: self.model.apply({"params": p}, w))
             return
         self.model = Wav2Vec2Encoder(self.cfg, dtype=dtype)

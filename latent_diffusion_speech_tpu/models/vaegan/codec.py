@@ -50,11 +50,12 @@ class HifiVAEGAN:
         self = cls(cfg, dtype=dtype)
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         probe = jnp.zeros((1, cfg.hop_size * 4))
-        self.encoder_params = self.encoder.init(
+        # jitted inits: one compiled program each instead of per-param dispatch
+        self.encoder_params = jax.jit(self.encoder.init)(
             {"params": k1, "latent": k1}, probe
         )["params"]
         probe_z = jnp.zeros((1, 4, cfg.inter_channels))
-        self.generator_params = self.generator.init(k2, probe_z)["params"]
+        self.generator_params = jax.jit(self.generator.init)(k2, probe_z)["params"]
         return self
 
     @classmethod

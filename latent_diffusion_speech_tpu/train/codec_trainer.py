@@ -71,10 +71,10 @@ class CodecTrainer:
         probe_audio = jnp.zeros((1, self.cfg.hop_size * 4))
         probe_z = jnp.zeros((1, 4, self.cfg.inter_channels))
         self.gen_params = {
-            "encoder": self.encoder.init({"params": k1, "latent": k1}, probe_audio)["params"],
-            "generator": self.generator.init(k2, probe_z)["params"],
+            "encoder": jax.jit(self.encoder.init)({"params": k1, "latent": k1}, probe_audio)["params"],
+            "generator": jax.jit(self.generator.init)(k2, probe_z)["params"],
         }
-        self.disc_params = self.disc.init(k3, jnp.zeros((1, self.cfg.hop_size * 4)))["params"]
+        self.disc_params = jax.jit(self.disc.init)(k3, jnp.zeros((1, self.cfg.hop_size * 4)))["params"]
         self.vq_state = self.vq.init(k4) if self.vq else None
 
         self.gen_tx = optax.adamw(lr, b1=0.8, b2=0.99)
