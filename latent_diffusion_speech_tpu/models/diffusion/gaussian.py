@@ -47,17 +47,25 @@ class GaussianDiffusion:
         max_beta: float = 0.02,
         acoustic_scale: float = 1.0,
         pad_multiple: int = 8,
+        prepare_sample_params: Optional[Callable] = None,
     ):
         """denoise_fn: (params, [x_t ++ cond] (B, T, M+H), t (B,)) -> eps (B, T, M).
 
         Params are threaded explicitly through `p_losses`/`sample` so jitted
         callers keep them as arguments (closures would bake weights into the
-        HLO as constants)."""
+        HLO as constants).
+
+        prepare_sample_params: optional once-per-sample transform applied to
+        `params` before the sampler scan (e.g. repacking weights into a Pallas
+        kernel layout) — it runs outside the scan body, so its cost is paid
+        once per serve call rather than per denoiser step. Inference only;
+        `p_losses` always sees raw params."""
         self.denoise_fn = denoise_fn
         self.out_dims = out_dims
         self.k_step = k_step
         self.acoustic_scale = acoustic_scale
         self.pad_multiple = pad_multiple
+        self.prepare_sample_params = prepare_sample_params
         self.schedule = DiffusionSchedule.linear(timesteps, max_beta)
 
     def norm_spec(self, x):
@@ -144,6 +152,8 @@ class GaussianDiffusion:
             x = self.q_sample(norm, t0, noise)
 
         x, cond_p, orig_T = self._pad(x, cond)
+        if self.prepare_sample_params is not None:
+            params = self.prepare_sample_params(params)
         eps_fn = self._eps_fn(params, cond_p)
 
         if method is None or infer_speedup <= 1:

@@ -105,8 +105,26 @@ class Unit2MelSystem:
     """Reference-shaped facade: forward(units, volume, spk_id, aug_shift,
     gt_spec, infer, ...) over (module, params, GaussianDiffusion)."""
 
-    def __init__(self, cfg: Unit2MelConfig, params=None, dtype=jnp.float32, remat: bool = False, seed: int = 0):
+    def __init__(
+        self,
+        cfg: Unit2MelConfig,
+        params=None,
+        dtype=jnp.float32,
+        remat: bool = False,
+        seed: int = 0,
+        unet_impl: str = "auto",
+    ):
+        """unet_impl: 'pallas' routes single-stream (B=1) sampling through the
+        fused Pallas UNet (ops/pallas/unet1d_fused.py; interpret mode
+        off-TPU, for tests); 'xla' forces the flax path.  'auto' currently
+        means 'xla': the v1 segmented kernel is parity-correct but measured
+        slightly SLOWER than XLA in the sampler scan (1.38 ms vs ~0.9 ms per
+        step at T=448 — 24 pallas_calls x ~60 us fixed invocation overhead
+        dominates; see benchmarks/unet_kernel_bench.py).  'auto' will route
+        to the kernel once the single-call streamed-weights version wins."""
         self.cfg = cfg
+        self.dtype = dtype
+        self.unet_impl = unet_impl
         self.module = Unit2Mel(cfg, dtype=dtype, remat=remat)
         if params is None:
             probe_units = jnp.zeros((1, 8, cfg.input_channel))
@@ -130,9 +148,40 @@ class Unit2MelSystem:
             max_beta=cfg.max_beta,
             acoustic_scale=cfg.acoustic_scale,
             pad_multiple=2 ** (len(cfg.block_out_channels) - 1),
+            prepare_sample_params=self._prepare_sample_params,
         )
 
+    def _pallas_unet_active(self) -> bool:
+        # 'auto' deliberately resolves to the XLA path for now: the segmented
+        # kernel loses to XLA on per-call invocation overhead (measured —
+        # see __init__ docstring).  Explicit 'pallas' is the opt-in.
+        return self.unet_impl == "pallas"
+
+    def _prepare_sample_params(self, params):
+        """Sampling-only hook: repack UNet weights into the fused-kernel
+        layout once per serve call (before the sampler scan). XLA dead-code
+        eliminates the packing when the batched path ends up being used."""
+        if not self._pallas_unet_active():
+            return params
+        from latent_diffusion_speech_tpu.ops.pallas.unet1d_fused import pack_unet_params
+
+        return {
+            "__unet_packed__": pack_unet_params(params["unet"], self.cfg.unet_config()),
+            "raw": params,
+        }
+
     def _denoise(self, params, x, t):
+        if isinstance(params, dict) and "__unet_packed__" in params:
+            if x.shape[0] == 1:
+                from latent_diffusion_speech_tpu.ops.pallas.unet1d_fused import unet_fwd_pallas
+
+                d = jax.devices()[0]
+                on_tpu = d.platform == "tpu" or "tpu" in getattr(d, "device_kind", "").lower()
+                return unet_fwd_pallas(
+                    params["__unet_packed__"], x, t, self.cfg.unet_config(),
+                    interpret=not on_tpu,
+                )
+            params = params["raw"]
         return self.module.apply({"params": params}, x, t, method=self.module.denoise)
 
     def condition(self, units, volume=None, spk_id=None, aug_shift=None, params=None):
