@@ -113,6 +113,7 @@ class Unit2MelSystem:
         remat: bool = False,
         seed: int = 0,
         unet_impl: str = "auto",
+        weight_quant: Optional[str] = None,
     ):
         """unet_impl: 'pallas' routes single-stream (B=1) sampling through the
         fused Pallas UNet (ops/pallas/unet1d_fused.py; interpret mode
@@ -121,10 +122,22 @@ class Unit2MelSystem:
         slightly SLOWER than XLA in the sampler scan (1.38 ms vs ~0.9 ms per
         step at T=448 — 24 pallas_calls x ~60 us fixed invocation overhead
         dominates; see benchmarks/unet_kernel_bench.py).  'auto' will route
-        to the kernel once the single-call streamed-weights version wins."""
+        to the kernel once the single-call streamed-weights version wins.
+
+        weight_quant: 'int8' stores the UNet's matmul kernels as int8 with
+        per-output-channel scales during SAMPLING only; dequant runs inside
+        the sampler scan body (behind an optimization barrier) and fuses into
+        the consuming matmuls, halving the per-step HBM weight stream that
+        bounds B=1 serve (ops/weight_quant.py).  Training and p_losses always
+        see full-precision params."""
         self.cfg = cfg
         self.dtype = dtype
         self.unet_impl = unet_impl
+        if weight_quant not in (None, "int8"):
+            raise ValueError(f"weight_quant must be None or 'int8', got {weight_quant!r}")
+        if weight_quant is not None and unet_impl == "pallas":
+            raise ValueError("weight_quant applies to the XLA sampling path; not combinable with unet_impl='pallas'")
+        self.weight_quant = weight_quant
         self.module = Unit2Mel(cfg, dtype=dtype, remat=remat)
         if params is None:
             probe_units = jnp.zeros((1, 8, cfg.input_channel))
@@ -158,17 +171,21 @@ class Unit2MelSystem:
         return self.unet_impl == "pallas"
 
     def _prepare_sample_params(self, params):
-        """Sampling-only hook: repack UNet weights into the fused-kernel
-        layout once per serve call (before the sampler scan). XLA dead-code
-        eliminates the packing when the batched path ends up being used."""
-        if not self._pallas_unet_active():
-            return params
-        from latent_diffusion_speech_tpu.ops.pallas.unet1d_fused import pack_unet_params
+        """Sampling-only hook, applied once per serve call (before the
+        sampler scan): repack UNet weights into the fused-kernel layout, or
+        quantize them to int8 for in-scan dequant."""
+        if self._pallas_unet_active():
+            from latent_diffusion_speech_tpu.ops.pallas.unet1d_fused import pack_unet_params
 
-        return {
-            "__unet_packed__": pack_unet_params(params["unet"], self.cfg.unet_config()),
-            "raw": params,
-        }
+            return {
+                "__unet_packed__": pack_unet_params(params["unet"], self.cfg.unet_config()),
+                "raw": params,
+            }
+        if self.weight_quant == "int8":
+            from latent_diffusion_speech_tpu.ops.weight_quant import quantize_tree_int8
+
+            return {"__unet_q__": quantize_tree_int8(params["unet"]), "raw": params}
+        return params
 
     def _denoise(self, params, x, t):
         if isinstance(params, dict) and "__unet_packed__" in params:
@@ -182,6 +199,14 @@ class Unit2MelSystem:
                     interpret=not on_tpu,
                 )
             params = params["raw"]
+        elif isinstance(params, dict) and "__unet_q__" in params:
+            # runs INSIDE the sampler scan body: the barrier keeps XLA from
+            # hoisting the dequant out of the loop, and convert+scale fuse
+            # into the consuming matmuls (no bf16 weight copy materializes)
+            from latent_diffusion_speech_tpu.ops.weight_quant import dequantize_tree
+
+            unet = dequantize_tree(params["__unet_q__"], dtype=self.dtype)
+            params = {**params["raw"], "unet": unet}
         return self.module.apply({"params": params}, x, t, method=self.module.denoise)
 
     def condition(self, units, volume=None, spk_id=None, aug_shift=None, params=None):
