@@ -22,8 +22,8 @@ def build_pipeline(cfg, diffusion_ckpt=None, lm_ckpt=None, dtype=None):
     from latent_diffusion_speech_tpu.quantize import load_codebook
     from latent_diffusion_speech_tpu.train.checkpoint import load_checkpoint
     from latent_diffusion_speech_tpu.train.diffusion_trainer import DiffusionTrainer
-    from latent_diffusion_speech_tpu.train.lm_trainer import roformer_config_from
-    from latent_diffusion_speech_tpu.models.lm import RoformerSystem
+    from latent_diffusion_speech_tpu.train.lm_trainer import llama_config_from, roformer_config_from
+    from latent_diffusion_speech_tpu.models.lm import LlamaSystem, RoformerSystem
 
     dtype = dtype or jnp.bfloat16
     codebook = None
@@ -49,7 +49,10 @@ def build_pipeline(cfg, diffusion_ckpt=None, lm_ckpt=None, dtype=None):
         _, params, _ = load_checkpoint(Path(diffusion_ckpt).parent, diffusion.params)
         diffusion.params = params
 
-    lm = RoformerSystem(roformer_config_from(cfg), dtype=dtype)
+    if cfg.text2semantic.model.type == "llama":
+        lm = LlamaSystem(llama_config_from(cfg), dtype=dtype)
+    else:
+        lm = RoformerSystem(roformer_config_from(cfg), dtype=dtype)
     if lm_ckpt:
         _, params, _ = load_checkpoint(Path(lm_ckpt).parent, lm.params)
         lm.params = params

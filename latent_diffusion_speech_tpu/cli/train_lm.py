@@ -16,7 +16,12 @@ def main():
 
     from functools import partial
 
-    from latent_diffusion_speech_tpu.data import DataLoader, TextDataset, collate_text_batch
+    from latent_diffusion_speech_tpu.data import (
+        DataLoader,
+        TextDataset,
+        collate_llama_batch,
+        collate_text_batch,
+    )
     from latent_diffusion_speech_tpu.parallel import initialize_distributed, process_count, process_index
     from latent_diffusion_speech_tpu.quantize import load_codebook
     from latent_diffusion_speech_tpu.train import LMTrainer
@@ -37,13 +42,24 @@ def main():
     lm_cfg = trainer.lm_cfg
 
     def make_loader(path, shuffle):
+        if trainer.lm_type == "llama":
+            # single-stream: dataset wraps semantic with the unshifted BOS/EOS
+            # (kmeans_num, kmeans_num+1); the collate shifts + prepends phones
+            sem_bos, sem_eos = lm_cfg.semantic_kmeans_num, lm_cfg.semantic_kmeans_num + 1
+            collate = partial(
+                collate_llama_batch, token_shift=lm_cfg.token_shift,
+                phone_bos=lm_cfg.phone_bos, phone_eos=lm_cfg.phone_eos,
+                pad_id=lm_cfg.pad_token_id,
+            )
+        else:
+            sem_bos, sem_eos = lm_cfg.semantic_bos, lm_cfg.semantic_eos
+            collate = partial(
+                collate_text_batch, phone_pad=lm_cfg.phone_pad, semantic_pad=lm_cfg.semantic_pad
+            )
         ds = TextDataset(
-            path, semantic_bos=lm_cfg.semantic_bos, semantic_eos=lm_cfg.semantic_eos,
+            path, semantic_bos=sem_bos, semantic_eos=sem_eos,
             n_spk=cfg.common.n_spk, process_index=process_index(), process_count=process_count(),
             cache=tcfg.cache_all_data,
-        )
-        collate = partial(
-            collate_text_batch, phone_pad=lm_cfg.phone_pad, semantic_pad=lm_cfg.semantic_pad
         )
         return DataLoader(ds, tcfg.batch_size, collate=collate, shuffle=shuffle, seed=tcfg.seed)
 

@@ -8,5 +8,9 @@ prefetching host->device loader (with an optional C++ fast-path reader).
 
 from latent_diffusion_speech_tpu.data.files import traverse_dir, speaker_id_map  # noqa: F401
 from latent_diffusion_speech_tpu.data.diffusion_dataset import DiffusionDataset  # noqa: F401
-from latent_diffusion_speech_tpu.data.lm_dataset import TextDataset, collate_text_batch  # noqa: F401
+from latent_diffusion_speech_tpu.data.lm_dataset import (  # noqa: F401
+    TextDataset,
+    collate_llama_batch,
+    collate_text_batch,
+)
 from latent_diffusion_speech_tpu.data.loader import DataLoader  # noqa: F401

@@ -17,7 +17,7 @@ import numpy as np
 
 from latent_diffusion_speech_tpu.data.files import speaker_id_map, traverse_dir
 
-__all__ = ["TextDataset", "collate_text_batch"]
+__all__ = ["TextDataset", "collate_text_batch", "collate_llama_batch"]
 
 
 class TextDataset:
@@ -110,3 +110,44 @@ def collate_text_batch(
         "spk_id": np.stack([_pad_to(it["spk_id"], pl, 0) for it in items]),
     }
     return batch
+
+
+def collate_llama_batch(
+    items: List[Dict[str, np.ndarray]],
+    token_shift: int,
+    phone_bos: int,
+    phone_eos: int,
+    pad_id: int,
+    pad_multiple: int = 32,
+    max_len: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Single-stream Llama collate (reference `text2semantic/llama/
+    dataloader.py:100-159,199-220`): each item becomes
+
+        input_ids = [BOS, phones, EOS] ++ (semantic_wrapped + token_shift)
+
+    where the dataset already wrapped semantic with the unshifted BOS/EOS
+    (kmeans_num, kmeans_num+1), which shift onto Llama's semantic BOS/EOS ids.
+    labels = input_ids with -100 at padding — CE covers the phone prompt too,
+    as in the reference (labels are the input_ids verbatim).  The reference
+    pads input_ids with -100 and remaps to PAD before the forward
+    (roformer/train.py:118-126 pattern); here input_ids are padded with
+    `pad_id` directly and only labels carry -100."""
+
+    def bucket(n):
+        return max(pad_multiple, ((n + pad_multiple - 1) // pad_multiple) * pad_multiple)
+
+    seqs = [
+        np.concatenate(
+            [[phone_bos], it["phone"], [phone_eos], it["semantic"] + token_shift]
+        ).astype(np.int32)
+        for it in items
+    ]
+    L = max_len or bucket(max(len(s) for s in seqs))
+    return {
+        "input_ids": np.stack([_pad_to(s, L, pad_id) for s in seqs]),
+        "labels": np.stack([_pad_to(s, L, -100) for s in seqs]),
+        "attention_mask": np.stack(
+            [_pad_to(np.ones(len(s), np.int32), L, 0) for s in seqs]
+        ),
+    }

@@ -249,6 +249,7 @@ class LlamaSystem:
     def generate(
         self,
         phone,
+        tones=None,
         max_length: int = 1024,
         do_sample: bool = True,
         temperature: float = 1.0,
@@ -257,8 +258,17 @@ class LlamaSystem:
         repetition_penalty: float = 1.0,
         end_gate_threshold: Optional[float] = None,
         rng: Optional[jax.Array] = None,
+        spk_id=None,
+        impl=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Returns (semantic tokens un-shifted (B, max_new), lengths)."""
+        """Returns (semantic tokens un-shifted (B, max_new), lengths).
+
+        `tones`, `spk_id` and `impl` are accepted for interface parity with
+        RoformerSystem.generate (so TTSPipeline can serve either LM) and
+        ignored: the reference Llama conditions on the phone stream only
+        (llama.py:91-101 builds input_ids from phones + semantic alone), and
+        the whole-decode Pallas kernel is a RoFormer-only path (TODO.md
+        records the won't-fix rationale: Llama's weights exceed VMEM)."""
         cfg = self.cfg
         B = phone.shape[0]
         col = lambda v: jnp.full((B, 1), v, phone.dtype)

@@ -18,7 +18,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from latent_diffusion_speech_tpu.config import Config
-from latent_diffusion_speech_tpu.models.lm import RoformerConfig, RoformerSystem
+from latent_diffusion_speech_tpu.models.lm import LlamaConfig, LlamaSystem, RoformerConfig, RoformerSystem
 from latent_diffusion_speech_tpu.models.lm.roformer import StackConfig
 from latent_diffusion_speech_tpu.parallel.mesh import build_mesh
 from latent_diffusion_speech_tpu.train.checkpoint import (
@@ -28,7 +28,7 @@ from latent_diffusion_speech_tpu.train.checkpoint import (
 )
 from latent_diffusion_speech_tpu.train.schedule import warmup_step_decay
 
-__all__ = ["LMTrainer", "top_k_accuracy"]
+__all__ = ["LMTrainer", "top_k_accuracy", "roformer_config_from", "llama_config_from"]
 
 
 def top_k_accuracy(logits: jnp.ndarray, labels: jnp.ndarray, k: int = 5) -> jnp.ndarray:
@@ -64,14 +64,41 @@ def roformer_config_from(cfg: Config) -> RoformerConfig:
     )
 
 
+def llama_config_from(cfg: Config) -> LlamaConfig:
+    """Decoder-only Llama geometry from the config's `decoder` stack (the
+    reference never wires llama into its dispatcher — `text2semantic/utils.py:4-9`
+    raises for it — so the stack-field mapping is this framework's contract)."""
+    m = cfg.text2semantic.model
+    tc = m.decoder
+    return LlamaConfig(
+        hidden_size=tc.hidden_size,
+        num_attention_heads=tc.num_attention_heads,
+        num_hidden_layers=tc.num_hidden_layers,
+        intermediate_size=tc.intermediate_size,
+        mode="phone",
+        semantic_kmeans_num=m.semantic_kmeans_num,
+    )
+
+
 class LMTrainer:
-    def __init__(self, cfg: Config, lm_cfg: Optional[RoformerConfig] = None, mesh=None,
+    """Trains the text->semantic LM named by `cfg.text2semantic.model.type`:
+    'roformer' (enc-dec, `collate_text_batch` batches) or 'llama'
+    (single-stream, `collate_llama_batch` batches)."""
+
+    def __init__(self, cfg: Config, lm_cfg=None, mesh=None,
                  codebook: Optional[np.ndarray] = None, dtype=jnp.float32):
         self.cfg = cfg
         tcfg = cfg.text2semantic.train
         self.mesh = mesh if mesh is not None else build_mesh(cfg.parallel)
-        self.lm_cfg = lm_cfg or roformer_config_from(cfg)
-        self.system = RoformerSystem(self.lm_cfg, dtype=dtype, seed=tcfg.seed, codebook=codebook)
+        self.lm_type = cfg.text2semantic.model.type
+        if self.lm_type == "llama":
+            self.lm_cfg = lm_cfg or llama_config_from(cfg)
+            self.system = LlamaSystem(self.lm_cfg, dtype=dtype, seed=tcfg.seed, codebook=codebook)
+        elif self.lm_type == "roformer":
+            self.lm_cfg = lm_cfg or roformer_config_from(cfg)
+            self.system = RoformerSystem(self.lm_cfg, dtype=dtype, seed=tcfg.seed, codebook=codebook)
+        else:
+            raise ValueError(f"unknown text2semantic model type: {self.lm_type!r}")
 
         from latent_diffusion_speech_tpu.parallel.sharding import (
             apply_param_shardings,
@@ -99,18 +126,26 @@ class LMTrainer:
         mesh = self.mesh
         param_shardings = self.param_shardings
 
-        def loss_fn(params, batch, dropout_rng):
-            return system.loss(
-                params,
-                batch["phone"],
-                batch["tone"],
-                batch["semantic"],
-                batch["labels"],
-                spk_id=batch.get("spk_id"),
-                encoder_attention_mask=batch.get("encoder_attention_mask"),
-                attention_mask=batch.get("attention_mask"),
-                dropout_rng=dropout_rng,
-            )
+        if self.lm_type == "llama":
+            def loss_fn(params, batch, dropout_rng):
+                del dropout_rng  # the flax Llama stack has no dropout
+                return system.loss(
+                    params, batch["input_ids"], batch["labels"],
+                    attention_mask=batch.get("attention_mask"),
+                )
+        else:
+            def loss_fn(params, batch, dropout_rng):
+                return system.loss(
+                    params,
+                    batch["phone"],
+                    batch["tone"],
+                    batch["semantic"],
+                    batch["labels"],
+                    spk_id=batch.get("spk_id"),
+                    encoder_attention_mask=batch.get("encoder_attention_mask"),
+                    attention_mask=batch.get("attention_mask"),
+                    dropout_rng=dropout_rng,
+                )
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, dropout_rng):
@@ -155,6 +190,10 @@ class LMTrainer:
 
     @partial(jax.jit, static_argnames=("self",))
     def _eval_logits(self, params, batch):
+        if self.lm_type == "llama":
+            return self.system.module.apply(
+                {"params": params}, batch["input_ids"], batch.get("attention_mask")
+            )
         return self.system.module.apply(
             {"params": params},
             batch["phone"], batch["tone"], batch["semantic"], batch.get("spk_id"),
@@ -163,12 +202,18 @@ class LMTrainer:
 
     def evaluate(self, batch) -> Dict[str, float]:
         logits = self._eval_logits(self.system.params, batch)
-        loss = self.system.loss(
-            self.system.params, batch["phone"], batch["tone"], batch["semantic"],
-            batch["labels"], spk_id=batch.get("spk_id"),
-            encoder_attention_mask=batch.get("encoder_attention_mask"),
-            attention_mask=batch.get("attention_mask"),
-        )
+        if self.lm_type == "llama":
+            loss = self.system.loss(
+                self.system.params, batch["input_ids"], batch["labels"],
+                attention_mask=batch.get("attention_mask"),
+            )
+        else:
+            loss = self.system.loss(
+                self.system.params, batch["phone"], batch["tone"], batch["semantic"],
+                batch["labels"], spk_id=batch.get("spk_id"),
+                encoder_attention_mask=batch.get("encoder_attention_mask"),
+                attention_mask=batch.get("attention_mask"),
+            )
         acc = top_k_accuracy(logits[:, :-1], batch["labels"][:, 1:], k=5)
         return {"val/loss": float(loss), "val/top5_acc": float(acc)}
 
@@ -183,6 +228,23 @@ class LMTrainer:
         vocoder are the frozen models; its LM params are swapped for the
         in-training ones here."""
         pipe.lm.params = self.system.params
+        if self.lm_type == "llama":
+            # single-stream batch: recover the phone prompt from input_ids
+            # ([BOS, phones, EOS, semantic...]); tones are not conditioned on
+            ids = np.asarray(batch["input_ids"])
+            for i in range(min(n_items, ids.shape[0])):
+                row = ids[i]
+                eos_pos = int(np.argmax(row == self.lm_cfg.phone_eos))
+                if eos_pos <= 1:
+                    continue
+                phones_i = row[1:eos_pos]
+                wav, sr = pipe.tts_from_phones(
+                    phones_i, np.zeros_like(phones_i), spk_id=1, seed=seed + i,
+                    method=method, infer_speedup=infer_speedup,
+                )
+                if logger is not None and wav.size:
+                    logger.log_audio(self.step, f"val/audio_{i}", wav, sr)
+            return
         mask = batch.get("encoder_attention_mask")
         phones = np.asarray(batch["phone"])
         tones = np.asarray(batch["tone"])
