@@ -37,6 +37,8 @@ _SLOW_MODULES = {
     "test_reference_migration", "test_w2vbert", "test_wav2vec2",
     "test_discriminators", "test_lm", "test_diffusion", "test_bert_text_mode",
     "test_whisper_units", "test_vaegan", "test_fast_batch",
+    # interpret-mode Pallas UNet parity suites: minutes each on CPU
+    "test_pallas_unet", "test_pallas_unet_stream",
 }
 
 

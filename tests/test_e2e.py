@@ -46,6 +46,37 @@ def pipeline():
     return TTSPipeline(diffusion, vocoder, lm=lm, codebook=codebook)
 
 
+def test_full_tts_with_llama_lm(rng):
+    """Same chain with the single-stream Llama LM serving the semantic stage
+    (reference capability its dispatcher never wires; ours does)."""
+    from latent_diffusion_speech_tpu.models.lm import LlamaConfig, LlamaSystem
+
+    diffusion = Unit2MelSystem(
+        Unit2MelConfig(
+            input_channel=UNIT_DIM, n_spk=4, out_dims=6, n_hidden=8,
+            block_out_channels=(8, 8), n_heads=2, timesteps=50, k_step=50,
+        )
+    )
+    vocoder = Vocoder("hifi-vaegan")
+    vocoder.vocoder = __import__(
+        "latent_diffusion_speech_tpu.models.vaegan.codec", fromlist=["HifiVAEGAN"]
+    ).HifiVAEGAN.random_init(TINY_VAEGAN)
+    lm = LlamaSystem(LlamaConfig(
+        hidden_size=16, num_attention_heads=2, num_hidden_layers=1,
+        intermediate_size=32, semantic_kmeans_num=32,
+    ))
+    codebook = np.random.default_rng(0).standard_normal((32, UNIT_DIM)).astype(np.float32)
+    pipe = TTSPipeline(diffusion, vocoder, lm=lm, codebook=codebook)
+
+    phones = rng.integers(1, 50, 6).astype(np.int32)
+    tones = rng.integers(0, 6, 6).astype(np.int32)
+    wav, sr = pipe.tts_from_phones(
+        phones, tones, spk_id=2, method="ddim", infer_speedup=10, max_length=12
+    )
+    assert sr == 8000
+    assert np.isfinite(wav).all()
+
+
 class TestTTSChain:
     def test_full_tts_from_phones(self, pipeline, rng):
         phones = rng.integers(1, 50, 6).astype(np.int32)
