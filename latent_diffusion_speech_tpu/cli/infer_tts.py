@@ -22,8 +22,7 @@ def build_pipeline(cfg, diffusion_ckpt=None, lm_ckpt=None, dtype=None):
     from latent_diffusion_speech_tpu.quantize import load_codebook
     from latent_diffusion_speech_tpu.train.checkpoint import load_checkpoint
     from latent_diffusion_speech_tpu.train.diffusion_trainer import DiffusionTrainer
-    from latent_diffusion_speech_tpu.train.lm_trainer import llama_config_from, roformer_config_from
-    from latent_diffusion_speech_tpu.models.lm import LlamaSystem, RoformerSystem
+    from latent_diffusion_speech_tpu.models.lm.registry import get_language_model
 
     dtype = dtype or jnp.bfloat16
     codebook = None
@@ -49,10 +48,7 @@ def build_pipeline(cfg, diffusion_ckpt=None, lm_ckpt=None, dtype=None):
         _, params, _ = load_checkpoint(Path(diffusion_ckpt).parent, diffusion.params)
         diffusion.params = params
 
-    if cfg.text2semantic.model.type == "llama":
-        lm = LlamaSystem(llama_config_from(cfg), dtype=dtype)
-    else:
-        lm = RoformerSystem(roformer_config_from(cfg), dtype=dtype)
+    lm = get_language_model(cfg, dtype=dtype)
     if lm_ckpt:
         _, params, _ = load_checkpoint(Path(lm_ckpt).parent, lm.params)
         lm.params = params

@@ -9,7 +9,7 @@ from typing import Optional
 import numpy as np
 
 from latent_diffusion_speech_tpu.config import Config
-from latent_diffusion_speech_tpu.models.lm.llama import LlamaConfig, LlamaSystem
+from latent_diffusion_speech_tpu.models.lm.llama import LlamaSystem
 from latent_diffusion_speech_tpu.models.lm.roformer import RoformerSystem
 
 __all__ = ["get_language_model"]
@@ -19,20 +19,12 @@ def get_language_model(cfg: Config, codebook: Optional[np.ndarray] = None, dtype
     """Build the configured text->semantic LM system."""
     import jax.numpy as jnp
 
-    from latent_diffusion_speech_tpu.train.lm_trainer import roformer_config_from
+    from latent_diffusion_speech_tpu.train.lm_trainer import llama_config_from, roformer_config_from
 
     dtype = dtype or jnp.float32
     mtype = cfg.text2semantic.model.type
     if mtype == "roformer":
         return RoformerSystem(roformer_config_from(cfg), dtype=dtype, seed=seed, codebook=codebook)
     if mtype == "llama":
-        m = cfg.text2semantic.model
-        lcfg = LlamaConfig(
-            hidden_size=m.decoder.hidden_size,
-            num_attention_heads=m.decoder.num_attention_heads,
-            num_hidden_layers=m.decoder.num_hidden_layers,
-            intermediate_size=m.decoder.intermediate_size,
-            semantic_kmeans_num=m.semantic_kmeans_num,
-        )
-        return LlamaSystem(lcfg, dtype=dtype, seed=seed, codebook=codebook)
+        return LlamaSystem(llama_config_from(cfg), dtype=dtype, seed=seed, codebook=codebook)
     raise ValueError(f"[x] Unknown language model type: {mtype}")
