@@ -257,32 +257,41 @@ class DiffusionTrainer:
             self.opt_state = opt_state
         return True
 
-    def train(self, loader, val_loader=None, max_steps: Optional[int] = None, logger=None):
-        """Epoch loop mirroring `solver.train` (solver.py:87-152)."""
+    def train(self, loader, val_loader=None, max_steps: Optional[int] = None, logger=None,
+              shutdown=None):
+        """Epoch loop mirroring `solver.train` (solver.py:87-152), plus
+        preemption safety the reference lacks: SIGTERM/SIGINT checkpoints
+        once and returns cleanly (train/signals.py)."""
+        from latent_diffusion_speech_tpu.train.signals import GracefulShutdown
+
         tcfg = self.cfg.diffusion.train
         rng = jax.random.PRNGKey(tcfg.seed)
         last_t = time.time()
-        for epoch in range(tcfg.epochs):
-            for batch in loader:
-                rng, sub = jax.random.split(rng)
-                metrics = self.train_step(self.device_put_batch(batch), sub)
-                if self.step % tcfg.interval_log == 0:
-                    dt = time.time() - last_t
-                    last_t = time.time()
-                    if logger:
-                        logger.log(
-                            self.step,
-                            {
-                                "train/loss": float(metrics["loss"]),
-                                "train/grad_norm": float(metrics["grad_norm"]),
-                                "train/steps_per_sec": tcfg.interval_log / max(dt, 1e-9),
-                            },
-                        )
-                if self.step % tcfg.interval_val == 0:
-                    self.save()
-                    if val_loader is not None:
-                        rng, vr = jax.random.split(rng)
-                        self.validate_full(val_loader, vr, logger=logger)
-                if max_steps and self.step >= max_steps:
-                    self.save()
-                    return
+        with (shutdown or GracefulShutdown()) as stop:
+            for epoch in range(tcfg.epochs):
+                for batch in loader:
+                    if stop.requested:
+                        self.save()
+                        return
+                    rng, sub = jax.random.split(rng)
+                    metrics = self.train_step(self.device_put_batch(batch), sub)
+                    if self.step % tcfg.interval_log == 0:
+                        dt = time.time() - last_t
+                        last_t = time.time()
+                        if logger:
+                            logger.log(
+                                self.step,
+                                {
+                                    "train/loss": float(metrics["loss"]),
+                                    "train/grad_norm": float(metrics["grad_norm"]),
+                                    "train/steps_per_sec": tcfg.interval_log / max(dt, 1e-9),
+                                },
+                            )
+                    if self.step % tcfg.interval_val == 0:
+                        self.save()
+                        if val_loader is not None:
+                            rng, vr = jax.random.split(rng)
+                            self.validate_full(val_loader, vr, logger=logger)
+                    if max_steps and self.step >= max_steps:
+                        self.save()
+                        return

@@ -280,24 +280,31 @@ class LMTrainer:
         return True
 
     def train(self, loader, val_loader=None, max_steps: Optional[int] = None, logger=None,
-              tts_pipeline=None):
+              tts_pipeline=None, shutdown=None):
         """tts_pipeline: optional TTSPipeline with the frozen diffusion/vocoder
-        (ref 21_train_lm.py:30-34) — enables validation audio synthesis."""
+        (ref 21_train_lm.py:30-34) — enables validation audio synthesis.
+        SIGTERM/SIGINT checkpoints once and returns (train/signals.py)."""
+        from latent_diffusion_speech_tpu.train.signals import GracefulShutdown
+
         tcfg = self.cfg.text2semantic.train
-        for epoch in range(tcfg.epochs):
-            for batch in loader:
-                metrics = self.train_step(self.device_put_batch(batch))
-                if logger and self.step % tcfg.interval_log == 0:
-                    logger.log(self.step, {"train/loss": float(metrics["loss"])})
-                if self.step % tcfg.interval_val == 0:
-                    if val_loader is not None and logger:
-                        for vb in val_loader:
-                            vb = self.device_put_batch(vb)
-                            logger.log(self.step, self.evaluate(vb))
-                            if tts_pipeline is not None:
-                                self.validate_audio(tts_pipeline, vb, logger)
-                            break
-                    self.save()
-                if max_steps and self.step >= max_steps:
-                    self.save()
-                    return
+        with (shutdown or GracefulShutdown()) as stop:
+            for epoch in range(tcfg.epochs):
+                for batch in loader:
+                    if stop.requested:
+                        self.save()
+                        return
+                    metrics = self.train_step(self.device_put_batch(batch))
+                    if logger and self.step % tcfg.interval_log == 0:
+                        logger.log(self.step, {"train/loss": float(metrics["loss"])})
+                    if self.step % tcfg.interval_val == 0:
+                        if val_loader is not None and logger:
+                            for vb in val_loader:
+                                vb = self.device_put_batch(vb)
+                                logger.log(self.step, self.evaluate(vb))
+                                if tts_pipeline is not None:
+                                    self.validate_audio(tts_pipeline, vb, logger)
+                                break
+                        self.save()
+                    if max_steps and self.step >= max_steps:
+                        self.save()
+                        return
