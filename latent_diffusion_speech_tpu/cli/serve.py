@@ -10,6 +10,12 @@ concurrent requests into batched device calls.  This is that daemon:
     POST /tts   {"text": "...", "language": "ZH", "spk_id": 1}  -> audio/wav
     GET  /healthz                                               -> JSON stats
 
+Long text is handled transparently: input longer than `max_chars` (default
+60) is split into sentence-sized pieces (text/segment.py), every piece is
+submitted to the batching server — so the pieces coalesce into batched
+device calls, together with any concurrent traffic — and the waveforms are
+stitched with `pause_ms` (default 180) of silence between pieces.
+
 `ThreadingHTTPServer` gives each request its own thread; every request
 submits to the shared `infer.TTSServer`, whose single dispatch thread owns
 the device and batches whatever arrives within the batching window
@@ -71,12 +77,34 @@ def make_handler(tts_server, timeout_s: float = 300.0):
                 language = str(req.get("language", "ZH"))
                 spk_id = int(req.get("spk_id", 1))
                 seed = int(req.get("seed", 0))
+                max_chars = int(req.get("max_chars", 60))
+                pause_ms = float(req.get("pause_ms", 180.0))
             except (ValueError, KeyError, TypeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
             try:
-                fut = tts_server.submit(text, language=language, spk_id=spk_id, seed=seed)
-                wav, sr = fut.result(timeout=timeout_s)
+                from latent_diffusion_speech_tpu.text.segment import split_sentences
+
+                pieces = split_sentences(text, max_chars=max_chars) or [text]
+                # every piece goes through the batching server, so a long
+                # text's pieces coalesce into batched device calls together
+                # with any concurrent requests
+                futs = [
+                    tts_server.submit(p, language=language, spk_id=spk_id, seed=seed + i)
+                    for i, p in enumerate(pieces)
+                ]
+                results = [f.result(timeout=timeout_s) for f in futs]
+                sr = results[0][1]
+                if len(results) == 1:
+                    wav = results[0][0]
+                else:
+                    gap = np.zeros(int(round(sr * pause_ms / 1000.0)), np.float32)
+                    chunks = []
+                    for i, (w, _) in enumerate(results):
+                        if i:
+                            chunks.append(gap)
+                        chunks.append(np.asarray(w, np.float32))
+                    wav = np.concatenate(chunks)
             except Exception as e:  # noqa: BLE001 — surfaced to the client
                 self._json(500, {"error": str(e)})
                 return

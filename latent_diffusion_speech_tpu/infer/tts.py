@@ -202,6 +202,43 @@ class TTSPipeline:
         wav = self.infer(units, spk_id=spk_id, method=method, infer_speedup=infer_speedup, rng=r2)
         return np.asarray(wav[0]), self.vocoder.vocoder_sample_rate
 
+    def tts_long_text(
+        self,
+        text: str,
+        language: str = "ZH",
+        spk_id: int = 1,
+        pause_ms: float = 180.0,
+        max_chars: int = 60,
+        batched: bool = True,
+        **kw,
+    ) -> Tuple[np.ndarray, int]:
+        """Long-text TTS: split into sentence-sized pieces (text/segment.py),
+        synthesize them — as ONE batched call by default — and stitch with
+        `pause_ms` of silence between pieces.
+
+        The reference has no long-TEXT path (only long-audio SVC slicing); a
+        single LM call degrades past the ~1024-token generation cap, so this
+        bounds every piece.  `kw` forwards to tts_batch / tts (method,
+        infer_speedup, top_k, seed, ...)."""
+        from latent_diffusion_speech_tpu.text.segment import split_sentences
+
+        pieces = split_sentences(text, max_chars=max_chars)
+        sr = self.vocoder.vocoder_sample_rate
+        if not pieces:
+            return np.zeros(0, np.float32), sr
+        if batched:
+            results = self.tts_batch(pieces, language=language,
+                                     spk_ids=[spk_id] * len(pieces), **kw)
+        else:
+            results = [self.tts(p, language=language, spk_id=spk_id, **kw) for p in pieces]
+        gap = np.zeros(int(round(sr * pause_ms / 1000.0)), np.float32)
+        chunks: list = []
+        for i, (wav, _) in enumerate(results):
+            if i:
+                chunks.append(gap)
+            chunks.append(np.asarray(wav, np.float32))
+        return np.concatenate(chunks), sr
+
     def tts_batch(
         self,
         texts,

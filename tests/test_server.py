@@ -168,6 +168,42 @@ class TestHTTPEndpoint:
             finally:
                 httpd.shutdown()
 
+    def test_http_long_text_splits_and_stitches(self):
+        import io
+        import json
+        import urllib.request
+        import wave
+        from http.server import ThreadingHTTPServer
+
+        from latent_diffusion_speech_tpu.cli.serve import make_handler
+
+        pipe = FakePipeline()
+        with TTSServer(pipe, max_batch=8, max_wait_ms=30) as server:
+            httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+            port = httpd.server_address[1]
+            threading.Thread(target=httpd.serve_forever, daemon=True).start()
+            try:
+                text = "第一句话。第二句话。第三句话。"
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/tts",
+                    data=json.dumps({"text": text, "max_chars": 5,
+                                     "pause_ms": 125.0}).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    assert resp.status == 200
+                    body = resp.read()
+                with wave.open(io.BytesIO(body)) as wf:
+                    assert wf.getframerate() == 8000
+                    # 3 pieces of 5 chars -> 3x(32+5) samples + 2 gaps of 1000
+                    assert wf.getnframes() == 3 * 37 + 2 * 1000
+                # pieces went through the batching server (coalesced or not,
+                # all three texts were served)
+                served = [t for c in pipe.calls for t in c["texts"]]
+                assert served == ["第一句话。", "第二句话。", "第三句话。"]
+            finally:
+                httpd.shutdown()
+
 
 @pytest.mark.slow
 def test_server_end_to_end_synthesis(pipeline, monkeypatch):  # noqa: F811
