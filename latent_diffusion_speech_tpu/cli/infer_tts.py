@@ -67,19 +67,27 @@ def main():
     p.add_argument("--lm-model", type=str, default=None, help="LM checkpoint path")
     p.add_argument("--speedup", type=int, default=None)
     p.add_argument("--method", type=str, default=None)
+    p.add_argument("--long", action="store_true",
+                   help="segment long text into sentence-sized pieces and "
+                        "synthesize them as one batched call (tts_long_text)")
+    p.add_argument("--pause-ms", type=float, default=180.0,
+                   help="silence between pieces in --long mode")
     args = p.parse_args()
     cfg = load(args)
 
     from latent_diffusion_speech_tpu.ops.audio_io import write_wav
 
     pipe = build_pipeline(cfg, args.model, args.lm_model)
-    wav, sr = pipe.tts(
-        args.text,
+    kw = dict(
         language=args.language,
         spk_id=args.spk_id,
         method=args.method or cfg.common.infer.method,
         infer_speedup=args.speedup or cfg.common.infer.speedup,
     )
+    if args.long:
+        wav, sr = pipe.tts_long_text(args.text, pause_ms=args.pause_ms, **kw)
+    else:
+        wav, sr = pipe.tts(args.text, **kw)
     write_wav(args.output, np.asarray(wav), sr)
     print(f"wrote {len(wav) / sr:.2f}s to {args.output}")
 
