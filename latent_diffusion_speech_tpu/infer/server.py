@@ -55,6 +55,9 @@ class TTSServer:
         self._lifecycle = threading.Lock()  # orders submit() vs close()
         self.batches_served = 0
         self.requests_served = 0
+        self.requests_failed = 0
+        self.batch_seconds_total = 0.0  # wall time spent inside tts_batch
+        self.audio_seconds_served = 0.0
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -72,6 +75,10 @@ class TTSServer:
                 raise RuntimeError("server is closed")
             self._queue.put(req)
         return req.future
+
+    def queue_depth(self) -> int:
+        """Requests submitted but not yet dispatched (approximate)."""
+        return self._queue.qsize() + (1 if self._pending is not None else 0)
 
     def close(self):
         """Drain outstanding requests, then stop the dispatch thread."""
@@ -130,6 +137,9 @@ class TTSServer:
         while True:
             batch, stop = self._collect()
             if batch:
+                import time as _time
+
+                t0 = _time.monotonic()
                 try:
                     results = self.pipeline.tts_batch(
                         [r.text for r in batch],
@@ -142,10 +152,15 @@ class TTSServer:
                     )
                     for req, res in zip(batch, results):
                         req.future.set_result(res)
+                    self.audio_seconds_served += sum(
+                        len(w) / float(sr) for w, sr in results if sr
+                    )
                 except Exception as e:  # noqa: BLE001 — delivered to callers
                     for req in batch:
                         if not req.future.done():
                             req.future.set_exception(e)
+                    self.requests_failed += len(batch)
+                self.batch_seconds_total += _time.monotonic() - t0
                 self.batches_served += 1
                 self.requests_served += len(batch)
             if stop:

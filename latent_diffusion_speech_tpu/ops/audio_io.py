@@ -14,7 +14,14 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["read_wav", "write_wav", "wav_bytes", "load_audio"]
+__all__ = [
+    "read_wav",
+    "write_wav",
+    "wav_bytes",
+    "wav_stream_header",
+    "pcm16_bytes",
+    "load_audio",
+]
 
 
 def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:
@@ -63,6 +70,34 @@ def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:
     return samples, sample_rate
 
 
+def pcm16_bytes(samples: np.ndarray) -> bytes:
+    """Encode float samples in [-1, 1] as little-endian 16-bit PCM bytes."""
+    samples = np.asarray(samples)
+    return np.round(np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+
+
+def wav_stream_header(sample_rate: int, n_channels: int = 1) -> bytes:
+    """RIFF/WAVE header for a PCM-16 stream of unknown length.
+
+    The RIFF and data sizes are set to 0xFFFFFFFF (the de-facto streaming
+    convention); players read PCM until EOF.  Follow with `pcm16_bytes`
+    payloads — e.g. as HTTP chunked-transfer chunks."""
+    byte_rate = sample_rate * n_channels * 2
+    fmt_chunk = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16)
+    return b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 0xFFFFFFFF),
+            b"WAVE",
+            b"fmt ",
+            struct.pack("<I", len(fmt_chunk)),
+            fmt_chunk,
+            b"data",
+            struct.pack("<I", 0xFFFFFFFF),
+        ]
+    )
+
+
 def wav_bytes(samples: np.ndarray, sample_rate: int, subtype: str = "pcm16") -> bytes:
     """Encode samples as a RIFF/WAVE byte string (for files or HTTP bodies)."""
     samples = np.asarray(samples)
@@ -71,7 +106,7 @@ def wav_bytes(samples: np.ndarray, sample_rate: int, subtype: str = "pcm16") -> 
     n_channels = samples.shape[1]
 
     if subtype == "pcm16":
-        body = np.round(np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+        body = pcm16_bytes(samples)
         bits, audio_format = 16, 1
     elif subtype == "float32":
         body = samples.astype("<f4").tobytes()

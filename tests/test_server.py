@@ -205,6 +205,259 @@ class TestHTTPEndpoint:
                 httpd.shutdown()
 
 
+class GatedPipeline:
+    """First tts_batch call returns at once; later calls block on `gate`."""
+
+    def __init__(self):
+        self.calls = 0
+        self.gate = threading.Event()
+        self.second_done = threading.Event()
+        self.lock = threading.Lock()
+
+    def tts_batch(self, texts, language="ZH", spk_ids=None, method="x",
+                  infer_speedup=1, max_length=8, seed=0):
+        with self.lock:
+            n = self.calls
+            self.calls += 1
+        if n > 0:
+            assert self.gate.wait(timeout=30)
+        val = 0.25 if n == 0 else -0.25
+        out = [(np.full(32 + len(t), val, np.float32), 8000) for t in texts]
+        if n > 0:
+            self.second_done.set()
+        return out
+
+
+class TestHTTPStreaming:
+    def _serve(self, pipe, **server_kw):
+        from http.server import ThreadingHTTPServer
+
+        from latent_diffusion_speech_tpu.cli.serve import make_handler
+
+        server = TTSServer(pipe, **server_kw)
+        httpd = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(server, **getattr(self, "_handler_kw", {}))
+        )
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        return server, httpd, httpd.server_address[1]
+
+    def test_stream_first_piece_before_second_synthesized(self):
+        """/tts/stream must deliver piece 1's audio while piece 2 is still
+        being synthesized, and the full stream must decode to
+        piece1 + pause + piece2."""
+        import http.client
+        import json
+        import struct
+
+        pipe = GatedPipeline()
+        server, httpd, port = self._serve(pipe, max_batch=1, max_wait_ms=5)
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            body = json.dumps({"text": "第一句话。第二句话。", "max_chars": 5,
+                               "pause_ms": 125.0})
+            conn.request("POST", "/tts/stream", body,
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert resp.headers["Content-Type"] == "audio/wav"
+            assert resp.headers.get("Transfer-Encoding") == "chunked"
+
+            header = resp.read(44)  # RIFF header with streaming sizes
+            assert header[:4] == b"RIFF" and header[8:12] == b"WAVE"
+            assert struct.unpack_from("<I", header, 4)[0] == 0xFFFFFFFF
+            piece1 = resp.read(2 * 37)  # 32 + 5 chars, pcm16
+            # first piece's audio is in hand while piece 2 is still gated
+            assert not pipe.second_done.is_set()
+            first = np.frombuffer(piece1, "<i2").astype(np.float32) / 32767.0
+            assert np.allclose(first, 0.25, atol=1e-3)
+
+            pipe.gate.set()
+            rest = resp.read()  # gap (1000 samples @8k for 125 ms) + piece 2
+            tail = np.frombuffer(rest, "<i2").astype(np.float32) / 32767.0
+            assert len(tail) == 1000 + 37
+            assert np.allclose(tail[:1000], 0.0)
+            assert np.allclose(tail[1000:], -0.25, atol=1e-3)
+            conn.close()
+        finally:
+            pipe.gate.set()
+            httpd.shutdown()
+            server.close()
+
+    def test_stream_error_before_headers_is_clean_500(self):
+        import json
+        import urllib.error
+        import urllib.request
+
+        pipe = FakePipeline(fail=True)
+        server, httpd, port = self._serve(pipe, max_wait_ms=5)
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/tts/stream",
+                data=json.dumps({"text": "x"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                raise AssertionError("expected 500")
+            except urllib.error.HTTPError as e:
+                assert e.code == 500
+                assert "exploded" in json.loads(e.read())["error"]
+        finally:
+            httpd.shutdown()
+            server.close()
+
+
+class TestHTTPHardening:
+    def test_auth_token_gates_synthesis_not_probes(self):
+        import json
+        import urllib.error
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+
+        from latent_diffusion_speech_tpu.cli.serve import make_handler
+
+        pipe = FakePipeline()
+        with TTSServer(pipe, max_wait_ms=5) as server:
+            httpd = ThreadingHTTPServer(
+                ("127.0.0.1", 0), make_handler(server, auth_token="sekret")
+            )
+            port = httpd.server_address[1]
+            threading.Thread(target=httpd.serve_forever, daemon=True).start()
+            try:
+                for path in ("/tts", "/tts/stream"):
+                    for hdrs in ({}, {"Authorization": "Bearer wrong"}):
+                        req = urllib.request.Request(
+                            f"http://127.0.0.1:{port}{path}",
+                            data=json.dumps({"text": "x"}).encode(),
+                            headers={"Content-Type": "application/json", **hdrs},
+                        )
+                        try:
+                            urllib.request.urlopen(req, timeout=30)
+                            raise AssertionError("expected 401")
+                        except urllib.error.HTTPError as e:
+                            assert e.code == 401, (path, hdrs)
+                ok = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/tts",
+                    data=json.dumps({"text": "x"}).encode(),
+                    headers={"Content-Type": "application/json",
+                             "Authorization": "Bearer sekret"},
+                )
+                with urllib.request.urlopen(ok, timeout=30) as resp:
+                    assert resp.status == 200
+                # probes stay open for load balancers / scrapers
+                for path in ("/healthz", "/metrics"):
+                    with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}{path}", timeout=30
+                    ) as resp:
+                        assert resp.status == 200
+            finally:
+                httpd.shutdown()
+
+    def test_metrics_prometheus_counters(self):
+        import json
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+
+        from latent_diffusion_speech_tpu.cli.serve import make_handler
+
+        pipe = FakePipeline()
+        with TTSServer(pipe, max_wait_ms=5) as server:
+            httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+            port = httpd.server_address[1]
+            threading.Thread(target=httpd.serve_forever, daemon=True).start()
+            try:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/tts",
+                    data=json.dumps({"text": "hello"}).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                urllib.request.urlopen(req, timeout=30).read()
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/metrics", timeout=30
+                ) as resp:
+                    text = resp.read().decode()
+                metrics = {
+                    line.split()[0]: float(line.split()[1])
+                    for line in text.splitlines()
+                    if line and not line.startswith("#")
+                }
+                assert metrics["tts_requests_served_total"] == 1
+                assert metrics["tts_requests_failed_total"] == 0
+                assert metrics["tts_batches_served_total"] == 1
+                # 37 samples at 8 kHz of audio were served
+                assert abs(metrics["tts_audio_seconds_served_total"] - 37 / 8000) < 1e-6
+                assert metrics["tts_batch_seconds_total"] >= 0
+                assert metrics["tts_queue_depth"] == 0
+                assert metrics["tts_uptime_seconds"] > 0
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=30
+                ) as resp:
+                    stats = json.loads(resp.read())
+                assert stats["requests_failed"] == 0 and "uptime_s" in stats
+            finally:
+                httpd.shutdown()
+
+    def test_keepalive_survives_early_error_responses(self):
+        """401/404 responses must drain the unread body, or the next request
+        on the same HTTP/1.1 connection parses garbage."""
+        import http.client
+        import json
+        from http.server import ThreadingHTTPServer
+
+        from latent_diffusion_speech_tpu.cli.serve import make_handler
+
+        pipe = FakePipeline()
+        with TTSServer(pipe, max_wait_ms=5) as server:
+            httpd = ThreadingHTTPServer(
+                ("127.0.0.1", 0), make_handler(server, auth_token="sekret")
+            )
+            port = httpd.server_address[1]
+            threading.Thread(target=httpd.serve_forever, daemon=True).start()
+            try:
+                conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+                body = json.dumps({"text": "hello"})
+                # unauthorized, then not-found, then a good request — all on
+                # one connection
+                conn.request("POST", "/tts", body, {"Content-Type": "application/json"})
+                r = conn.getresponse()
+                assert r.status == 401
+                r.read()
+                conn.request("POST", "/nope", body, {"Content-Type": "application/json"})
+                r = conn.getresponse()
+                assert r.status == 404
+                r.read()
+                conn.request(
+                    "POST", "/tts", body,
+                    {"Content-Type": "application/json",
+                     "Authorization": "Bearer sekret"},
+                )
+                r = conn.getresponse()
+                assert r.status == 200
+                r.read()
+                # oversized declared body is rejected up front
+                conn2 = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+                conn2.putrequest("POST", "/tts")
+                conn2.putheader("Content-Type", "application/json")
+                conn2.putheader("Authorization", "Bearer sekret")
+                conn2.putheader("Content-Length", str(10 << 20))
+                conn2.endheaders()
+                r2 = conn2.getresponse()
+                assert r2.status == 400 and b"too large" in r2.read()
+                conn.close()
+                conn2.close()
+            finally:
+                httpd.shutdown()
+
+    def test_failed_requests_counted(self):
+        pipe = FakePipeline(fail=True)
+        with TTSServer(pipe, max_wait_ms=5) as server:
+            fut = server.submit("x")
+            with pytest.raises(ValueError):
+                fut.result(timeout=30)
+        assert server.requests_failed == 1
+        assert server.requests_served == 1
+
+
 @pytest.mark.slow
 def test_server_end_to_end_synthesis(pipeline, monkeypatch):  # noqa: F811
     """Real tiny synthesis stack behind the server: audio comes back finite."""
