@@ -74,7 +74,43 @@ def build_pipeline():
     return TTSPipeline(diffusion, vocoder, lm=lm, codebook=codebook)
 
 
+def probe_devices(timeout_s: float = 240.0):
+    """Initialize the device backend with a watchdog.
+
+    The image's TPU-relay PJRT plugin blocks indefinitely inside client
+    construction when the relay is unreachable; a hung bench is worse than a
+    failed one, so probe in a daemon thread and hard-exit with a parseable
+    JSON error line on timeout (the stuck thread is in a C call and cannot
+    be interrupted — os._exit is the only clean way out).
+    """
+    import os
+    import threading
+
+    out: dict = {}
+
+    def _probe():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # pragma: no cover - depends on the relay
+            out["error"] = repr(e)
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" not in out:
+        print(json.dumps({
+            "metric": "serve_rtf_chained", "value": None, "unit": "RTF",
+            "vs_baseline": None,
+            "detail": {"error": out.get(
+                "error", f"device backend unreachable after {timeout_s:.0f}s "
+                         "(TPU relay down?)")},
+        }), flush=True)
+        os._exit(1)
+    return out["devices"]
+
+
 def main():
+    probe_devices()
     pipe = build_pipeline()
     K = pipe.lm.cfg.semantic_kmeans_num
 
