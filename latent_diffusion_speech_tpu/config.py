@@ -105,6 +105,9 @@ class DiffusionModelConfig:
     beta_end: float = 0.02
     # Latent geometry: out_dims = vocoder latent channels
     out_dims: int = 128
+    # UNet conv lowering: 'xla' (conv_general_dilated) or 'matmul' (shifted
+    # matmuls — fwd AND bwd become dot_generals; perf knob, same numerics)
+    conv_impl: str = "xla"
 
 
 @dataclass

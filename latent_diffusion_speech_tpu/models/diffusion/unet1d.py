@@ -28,6 +28,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -47,6 +48,7 @@ class UNet1DConfig:
     cross_attn: Tuple[bool, ...] = (True, True, True, False)  # per down block
     dropout: float = 0.0
     remat: bool = False
+    conv_impl: str = "xla"           # 'xla' (conv_general_dilated) | 'matmul'
 
     @property
     def downsample_factor(self) -> int:
@@ -62,11 +64,65 @@ def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) ->
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
+class Conv1dSame(nn.Module):
+    """'Same'-padded odd-kernel Conv1d with a selectable lowering.
+
+    Param layout is identical to ``flax.linen.Conv`` (kernel (k, C_in, C_out)
+    WIO + bias), so checkpoints are interchangeable between impls.
+
+    * ``impl='xla'``: ``lax.conv_general_dilated`` NWC — exactly what
+      ``nn.Conv`` emits.
+    * ``impl='matmul'``: sum of k shifted (B, T, C_in) @ (C_in, C_out)
+      matmuls (stride 1), or k strided-phase matmuls (stride 2).  Forward
+      AND backward then lower to plain ``dot_general``s on the MXU — the
+      conv-backward layout work the train-step MFU analysis called for
+      (grad-wrt-kernel becomes (C_in, B*T) @ (B*T, C_out)).  Same trick as
+      the vocoder's ``models/vaegan/models.py::Conv1d`` forward rewrite.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    impl: str = "xla"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, s = self.kernel_size, self.stride
+        pad = (k - 1) // 2
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
+        w = kernel.astype(self.dtype)
+        if self.impl == "matmul":
+            T = x.shape[1]
+            T_out = (T + 2 * pad - k) // s + 1
+            xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0))) if pad else x
+            if s == 1:
+                out = xp[:, 0:T_out] @ w[0]
+                for t in range(1, k):
+                    out = out + xp[:, t : t + T_out] @ w[t]
+            else:
+                out = xp[:, 0::s][:, :T_out] @ w[0]
+                for t in range(1, k):
+                    out = out + xp[:, t::s][:, :T_out] @ w[t]
+        else:
+            out = jax.lax.conv_general_dilated(
+                x, w, (s,), [(pad, pad)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
+        return out + bias.astype(self.dtype)
+
+
 class ResBlock1D(nn.Module):
     out_channels: int
     groups: int = 8
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, temb):
@@ -75,7 +131,7 @@ class ResBlock1D(nn.Module):
         # f32 tensor must not materialize in HBM (the step is bandwidth-bound)
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm1")(x).astype(self.dtype)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3,), padding=[(1, 1)], dtype=self.dtype, name="conv1")(h)
+        h = Conv1dSame(self.out_channels, 3, impl=self.conv_impl, dtype=self.dtype, name="conv1")(h)
 
         emb = nn.Dense(2 * self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         scale, shift = jnp.split(emb[:, None, :], 2, axis=-1)
@@ -83,10 +139,10 @@ class ResBlock1D(nn.Module):
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm2")(h).astype(self.dtype)
         h = h * (1 + scale) + shift
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3,), padding=[(1, 1)], dtype=self.dtype, name="conv2")(h)
+        h = Conv1dSame(self.out_channels, 3, impl=self.conv_impl, dtype=self.dtype, name="conv2")(h)
 
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1,), dtype=self.dtype, name="conv_shortcut")(x)
+            x = Conv1dSame(self.out_channels, 1, impl=self.conv_impl, dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
 
 
@@ -143,20 +199,22 @@ class TransformerBlock1D(nn.Module):
 class Downsample1D(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.channels, (3,), strides=(2,), padding=[(1, 1)], dtype=self.dtype, name="conv")(x)
+        return Conv1dSame(self.channels, 3, stride=2, impl=self.conv_impl, dtype=self.dtype, name="conv")(x)
 
 
 class Upsample1D(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         x = jnp.repeat(x, 2, axis=1)  # nearest x2
-        return nn.Conv(self.channels, (3,), padding=[(1, 1)], dtype=self.dtype, name="conv")(x)
+        return Conv1dSame(self.channels, 3, impl=self.conv_impl, dtype=self.dtype, name="conv")(x)
 
 
 class UNet1D(nn.Module):
@@ -178,24 +236,24 @@ class UNet1D(nn.Module):
         temb = nn.Dense(4 * boc[0], dtype=self.dtype, name="time_mlp1")(temb)
         temb = nn.Dense(4 * boc[0], dtype=self.dtype, name="time_mlp2")(nn.silu(temb))
 
-        h = nn.Conv(boc[0], (3,), padding=[(1, 1)], dtype=self.dtype, name="conv_in")(x)
+        h = Conv1dSame(boc[0], 3, impl=cfg.conv_impl, dtype=self.dtype, name="conv_in")(x)
         skips = [h]
 
         # down
         for i in range(n_blocks):
             for j in range(cfg.layers_per_block):
-                h = res_block(boc[i], cfg.norm_num_groups, dtype=self.dtype, name=f"down_{i}_res_{j}")(h, temb)
+                h = res_block(boc[i], cfg.norm_num_groups, dtype=self.dtype, conv_impl=cfg.conv_impl, name=f"down_{i}_res_{j}")(h, temb)
                 if cfg.cross_attn[i]:
                     h = attn_block(boc[i], cfg.n_heads, cfg.norm_num_groups, dtype=self.dtype, name=f"down_{i}_attn_{j}")(h)
                 skips.append(h)
             if i < n_blocks - 1:
-                h = Downsample1D(boc[i], dtype=self.dtype, name=f"down_{i}_downsample")(h)
+                h = Downsample1D(boc[i], dtype=self.dtype, conv_impl=cfg.conv_impl, name=f"down_{i}_downsample")(h)
                 skips.append(h)
 
         # mid
-        h = res_block(boc[-1], cfg.norm_num_groups, dtype=self.dtype, name="mid_res_0")(h, temb)
+        h = res_block(boc[-1], cfg.norm_num_groups, dtype=self.dtype, conv_impl=cfg.conv_impl, name="mid_res_0")(h, temb)
         h = attn_block(boc[-1], cfg.n_heads, cfg.norm_num_groups, dtype=self.dtype, name="mid_attn")(h)
-        h = res_block(boc[-1], cfg.norm_num_groups, dtype=self.dtype, name="mid_res_1")(h, temb)
+        h = res_block(boc[-1], cfg.norm_num_groups, dtype=self.dtype, conv_impl=cfg.conv_impl, name="mid_res_1")(h, temb)
 
         # up (reversed channel order; num_layers = layers_per_block + 1)
         rev = list(reversed(boc))
@@ -203,12 +261,12 @@ class UNet1D(nn.Module):
         for i in range(n_blocks):
             for j in range(cfg.layers_per_block + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
-                h = res_block(rev[i], cfg.norm_num_groups, dtype=self.dtype, name=f"up_{i}_res_{j}")(h, temb)
+                h = res_block(rev[i], cfg.norm_num_groups, dtype=self.dtype, conv_impl=cfg.conv_impl, name=f"up_{i}_res_{j}")(h, temb)
                 if rev_attn[i]:
                     h = attn_block(rev[i], cfg.n_heads, cfg.norm_num_groups, dtype=self.dtype, name=f"up_{i}_attn_{j}")(h)
             if i < n_blocks - 1:
-                h = Upsample1D(rev[i], dtype=self.dtype, name=f"up_{i}_upsample")(h)
+                h = Upsample1D(rev[i], dtype=self.dtype, conv_impl=cfg.conv_impl, name=f"up_{i}_upsample")(h)
 
         h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5, name="conv_norm_out")(h).astype(self.dtype)
         h = nn.silu(h)
-        return nn.Conv(cfg.out_channels, (3,), padding=[(1, 1)], dtype=self.dtype, name="conv_out")(h)
+        return Conv1dSame(cfg.out_channels, 3, impl=cfg.conv_impl, dtype=self.dtype, name="conv_out")(h)

@@ -42,6 +42,7 @@ class Unit2MelConfig:
     timesteps: int = 1000
     k_step: int = 1000
     max_beta: float = 0.02
+    conv_impl: str = "xla"           # UNet conv lowering: 'xla' | 'matmul'
 
     def unet_config(self, remat: bool = False) -> UNet1DConfig:
         return UNet1DConfig(
@@ -51,6 +52,7 @@ class Unit2MelConfig:
             layers_per_block=self.n_layers,
             n_heads=self.n_heads,
             remat=remat,
+            conv_impl=self.conv_impl,
         )
 
 

@@ -59,6 +59,7 @@ class DiffusionTrainer:
             acoustic_scale=cfg.data.acoustic_scale,
             timesteps=cfg.diffusion.model.timesteps,
             k_step=cfg.diffusion.model.k_step_max,
+            conv_impl=cfg.diffusion.model.conv_impl,
         )
         # remat trades compile time + recompute for activation memory; the
         # flagship geometry fits v5e HBM without it at practical batch sizes
