@@ -85,6 +85,12 @@ class Conv1dSame(nn.Module):
     stride: int = 1
     impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
+    # Fuse a nearest-x2 upsample into the conv (matmul impl, k=3, s=1 only):
+    # the caller passes the UN-repeated x and gets the 2T output.  Polyphase:
+    # out[2t] = w0·x[t-1] + (w1+w2)·x[t]; out[2t+1] = (w0+w1)·x[t] + w2·x[t+1]
+    # — 4 length-T matmuls instead of 3 length-2T ones (1.5x fewer FLOPs) and
+    # the (B, 2T, C) repeat tensor never materializes.
+    upsample2x: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -97,7 +103,14 @@ class Conv1dSame(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         x = x.astype(self.dtype)
         w = kernel.astype(self.dtype)
-        if self.impl == "matmul":
+        if self.upsample2x:
+            assert self.impl == "matmul" and k == 3 and s == 1
+            x_prev = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+            x_next = jnp.pad(x, ((0, 0), (0, 1), (0, 0)))[:, 1:]
+            even = x_prev @ w[0] + x @ (w[1] + w[2])
+            odd = x @ (w[0] + w[1]) + x_next @ w[2]
+            out = jnp.stack([even, odd], axis=2).reshape(x.shape[0], -1, self.features)
+        elif self.impl == "matmul":
             T = x.shape[1]
             T_out = (T + 2 * pad - k) // s + 1
             xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0))) if pad else x
@@ -213,6 +226,12 @@ class Upsample1D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.conv_impl == "matmul":
+            # polyphase: upsample fused into the conv, repeat never materializes
+            return Conv1dSame(
+                self.channels, 3, impl="matmul", upsample2x=True,
+                dtype=self.dtype, name="conv",
+            )(x)
         x = jnp.repeat(x, 2, axis=1)  # nearest x2
         return Conv1dSame(self.channels, 3, impl=self.conv_impl, dtype=self.dtype, name="conv")(x)
 

@@ -50,6 +50,24 @@ def test_conv_impl_grads_match(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
 
+def test_upsample_polyphase_matches_repeat_conv(rng):
+    from latent_diffusion_speech_tpu.models.diffusion.unet1d import Upsample1D
+
+    cin = 8
+    for T in (16, 17):
+        x = jnp.asarray(rng.standard_normal((2, T, cin)), jnp.float32)
+        up_xla = Upsample1D(cin, conv_impl="xla")
+        up_mm = Upsample1D(cin, conv_impl="matmul")
+        p = up_xla.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(
+            up_mm.init(jax.random.PRNGKey(0), x)
+        )
+        y_xla = up_xla.apply(p, x)
+        y_mm = up_mm.apply(p, x)
+        assert y_xla.shape == y_mm.shape == (2, 2 * T, cin)
+        np.testing.assert_allclose(np.asarray(y_xla), np.asarray(y_mm), rtol=1e-5, atol=1e-5)
+
+
 def test_unet_conv_impls_same_params_same_output(rng):
     cfg = dict(
         in_channels=12, out_channels=4, block_out_channels=(8, 8),
