@@ -37,7 +37,12 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.num_threads = num_threads
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        # the per-epoch permutation is a pure function of (seed, epoch) so a
+        # resumed run replays the exact batch order (torch DistributedSampler
+        # set_epoch semantics; the reference cannot do this)
+        self.epoch = 0
+        self._skip_next = 0
         self.device_put = device_put
         # native fast path: datasets exposing fast_batch (C++ batched reads)
         self._fast = None
@@ -53,10 +58,19 @@ class DataLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Select the (seed, epoch)-keyed shuffle for the next iteration."""
+        self.epoch = int(epoch)
+
+    def skip_batches(self, n: int) -> None:
+        """Skip the first n batches of the NEXT iteration (mid-epoch resume);
+        skipped batches are never loaded, only their indices are drawn."""
+        self._skip_next = max(0, int(n))
+
     def _batches(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(idx)
+            np.random.default_rng([self.seed, self.epoch]).shuffle(idx)
         n_full = len(idx) // self.batch_size
         for b in range(n_full):
             yield idx[b * self.batch_size : (b + 1) * self.batch_size]
@@ -83,10 +97,13 @@ class DataLoader:
     def __iter__(self) -> Iterator:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        skip, self._skip_next = self._skip_next, 0
 
         def producer():
             try:
-                for indices in self._batches():
+                for bi, indices in enumerate(self._batches()):
+                    if bi < skip:
+                        continue
                     q.put(self._make_batch(indices))
             except BaseException as e:  # noqa: BLE001 — re-raised in the consumer
                 q.put(e)

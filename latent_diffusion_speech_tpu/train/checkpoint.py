@@ -11,13 +11,19 @@ next to the checkpoints (self-describing checkpoint property,
 
 from __future__ import annotations
 
+import json
 import re
 from pathlib import Path
 from typing import Any, Optional, Tuple
 
 from flax import serialization
 
-__all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint_step"]
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "load_checkpoint_meta",
+    "latest_checkpoint_step",
+]
 
 _STEP_RE = re.compile(r"model_(\d+)\.ckpt$")
 
@@ -28,7 +34,10 @@ def save_checkpoint(
     params: Any,
     opt_state: Optional[Any] = None,
     keep: int = 4,
+    meta: Optional[dict] = None,
 ) -> Path:
+    """`meta` (JSON-serializable — e.g. epoch / batch-in-epoch position for
+    deterministic resume) is written as a `model_<step>.meta.json` sidecar."""
     expdir = Path(expdir)
     expdir.mkdir(parents=True, exist_ok=True)
     payload = {"step": step, "params": params}
@@ -36,6 +45,8 @@ def save_checkpoint(
         payload["opt_state"] = opt_state
     path = expdir / f"model_{step}.ckpt"
     path.write_bytes(serialization.to_bytes(payload))
+    if meta is not None:
+        path.with_suffix(".meta.json").write_text(json.dumps(meta))
 
     if keep and keep > 0:
         ckpts = sorted(
@@ -45,7 +56,24 @@ def save_checkpoint(
         )
         for _, old in ckpts[:-keep]:
             old.unlink(missing_ok=True)
+            old.with_suffix(".meta.json").unlink(missing_ok=True)
     return path
+
+
+def load_checkpoint_meta(expdir: str | Path, step: Optional[int] = None) -> dict:
+    """The meta sidecar for `step` (default: latest), or {} if none exists."""
+    expdir = Path(expdir)
+    if step is None:
+        step = latest_checkpoint_step(expdir)
+        if step is None:
+            return {}
+    path = expdir / f"model_{step}.meta.json"
+    if not path.exists():
+        return {}
+    try:
+        return json.loads(path.read_text())
+    except (json.JSONDecodeError, OSError):
+        return {}
 
 
 def latest_checkpoint_step(expdir: str | Path) -> Optional[int]:

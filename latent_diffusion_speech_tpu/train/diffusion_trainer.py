@@ -28,6 +28,7 @@ from latent_diffusion_speech_tpu.parallel.mesh import build_mesh
 from latent_diffusion_speech_tpu.train.checkpoint import (
     latest_checkpoint_step,
     load_checkpoint,
+    load_checkpoint_meta,
     save_checkpoint,
 )
 from latent_diffusion_speech_tpu.train.schedule import warmup_step_decay
@@ -95,6 +96,9 @@ class DiffusionTrainer:
             self.tx = optax.MultiSteps(self.tx, tcfg.gradient_accumulation_steps)
         self.opt_state = self.tx.init(self.system.params)
         self.step = 0
+        # data-stream position for deterministic resume (saved as ckpt meta)
+        self._epoch = 0
+        self._batch_in_epoch = 0
         # optional EMA of params for eval/serve (no reference equivalent;
         # standard practice for diffusion models)
         self.ema_decay = getattr(tcfg, "ema_decay", 0.0) or 0.0
@@ -234,6 +238,9 @@ class DiffusionTrainer:
             self.system.params,
             self.opt_state if tcfg.save_opt else None,
             keep=tcfg.last_save_model_num,
+            # data-position sidecar: a resumed run replays the exact batch
+            # stream (epoch-keyed shuffle + mid-epoch skip; reference can't)
+            meta={"epoch": self._epoch, "batch_in_epoch": self._batch_in_epoch},
         )
         if self.vq_state is not None:
             # learned-VQ codebook saved beside the model (reference keeps a
@@ -256,6 +263,9 @@ class DiffusionTrainer:
         self.system.params = params
         if opt_state is not None:
             self.opt_state = opt_state
+        meta = load_checkpoint_meta(tcfg.expdir)
+        self._epoch = int(meta.get("epoch", 0))
+        self._batch_in_epoch = int(meta.get("batch_in_epoch", 0))
         return True
 
     def train(self, loader, val_loader=None, max_steps: Optional[int] = None, logger=None,
@@ -266,16 +276,28 @@ class DiffusionTrainer:
         from latent_diffusion_speech_tpu.train.signals import GracefulShutdown
 
         tcfg = self.cfg.diffusion.train
-        rng = jax.random.PRNGKey(tcfg.seed)
+        base_rng = jax.random.PRNGKey(tcfg.seed)
         last_t = time.time()
         with (shutdown or GracefulShutdown()) as stop:
-            for epoch in range(tcfg.epochs):
+            start_epoch = self._epoch
+            for epoch in range(start_epoch, tcfg.epochs):
+                resuming_mid_epoch = epoch == start_epoch and self._batch_in_epoch > 0
+                self._epoch = epoch
+                if not resuming_mid_epoch:
+                    self._batch_in_epoch = 0
+                if hasattr(loader, "set_epoch"):
+                    loader.set_epoch(epoch)
+                    if resuming_mid_epoch:
+                        loader.skip_batches(self._batch_in_epoch)
                 for batch in loader:
                     if stop.requested:
                         self.save()
                         return
-                    rng, sub = jax.random.split(rng)
+                    # per-step key: the noise/t draws are a pure function of
+                    # (seed, step) — identical across resumes and restarts
+                    sub = jax.random.fold_in(base_rng, self.step)
                     metrics = self.train_step(self.device_put_batch(batch), sub)
+                    self._batch_in_epoch += 1
                     if self.step % tcfg.interval_log == 0:
                         dt = time.time() - last_t
                         last_t = time.time()
@@ -291,7 +313,7 @@ class DiffusionTrainer:
                     if self.step % tcfg.interval_val == 0:
                         self.save()
                         if val_loader is not None:
-                            rng, vr = jax.random.split(rng)
+                            vr = jax.random.fold_in(base_rng, -self.step)
                             self.validate_full(val_loader, vr, logger=logger)
                     if max_steps and self.step >= max_steps:
                         self.save()

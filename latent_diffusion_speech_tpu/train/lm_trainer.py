@@ -24,6 +24,7 @@ from latent_diffusion_speech_tpu.parallel.mesh import build_mesh
 from latent_diffusion_speech_tpu.train.checkpoint import (
     latest_checkpoint_step,
     load_checkpoint,
+    load_checkpoint_meta,
     save_checkpoint,
 )
 from latent_diffusion_speech_tpu.train.schedule import warmup_step_decay
@@ -118,6 +119,9 @@ class LMTrainer:
             self.tx = optax.MultiSteps(self.tx, tcfg.gradient_accumulation_steps)
         self.opt_state = self.tx.init(self.system.params)
         self.step = 0
+        # data-stream position for deterministic resume (saved as ckpt meta)
+        self._epoch = 0
+        self._batch_in_epoch = 0
         self._train_step = self._build_train_step()
 
     def _build_train_step(self):
@@ -264,6 +268,7 @@ class LMTrainer:
         save_checkpoint(
             tcfg.expdir, self.step, self.system.params,
             self.opt_state if tcfg.save_opt else None, keep=tcfg.last_save_model_num,
+            meta={"epoch": self._epoch, "batch_in_epoch": self._batch_in_epoch},
         )
 
     def resume(self) -> bool:
@@ -277,6 +282,9 @@ class LMTrainer:
         self.system.params = params
         if opt_state is not None:
             self.opt_state = opt_state
+        meta = load_checkpoint_meta(tcfg.expdir)
+        self._epoch = int(meta.get("epoch", 0))
+        self._batch_in_epoch = int(meta.get("batch_in_epoch", 0))
         return True
 
     def train(self, loader, val_loader=None, max_steps: Optional[int] = None, logger=None,
@@ -288,12 +296,22 @@ class LMTrainer:
 
         tcfg = self.cfg.text2semantic.train
         with (shutdown or GracefulShutdown()) as stop:
-            for epoch in range(tcfg.epochs):
+            start_epoch = self._epoch
+            for epoch in range(start_epoch, tcfg.epochs):
+                resuming_mid_epoch = epoch == start_epoch and self._batch_in_epoch > 0
+                self._epoch = epoch
+                if not resuming_mid_epoch:
+                    self._batch_in_epoch = 0
+                if hasattr(loader, "set_epoch"):
+                    loader.set_epoch(epoch)
+                    if resuming_mid_epoch:
+                        loader.skip_batches(self._batch_in_epoch)
                 for batch in loader:
                     if stop.requested:
                         self.save()
                         return
                     metrics = self.train_step(self.device_put_batch(batch))
+                    self._batch_in_epoch += 1
                     if logger and self.step % tcfg.interval_log == 0:
                         logger.log(self.step, {"train/loss": float(metrics["loss"])})
                     if self.step % tcfg.interval_val == 0:
