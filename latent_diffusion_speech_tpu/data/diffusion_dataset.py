@@ -58,7 +58,12 @@ class DiffusionDataset:
         all_paths = traverse_dir(self.root / "audio", extensions=extensions)
         self.spk_map = speaker_id_map(all_paths) if (n_spk and n_spk > 1) else {}
         self.paths = all_paths[process_index::process_count]
-        self.rng = np.random.default_rng(seed + process_index)
+        self.seed = seed + process_index
+        # augmentation draws (aug_mel choice, latent noise, crop start) are
+        # keyed on (seed, epoch, index): set_epoch + the loader's epoch-keyed
+        # shuffle make the whole input stream bit-reproducible across resumes
+        self.epoch = 0
+        self.rng = np.random.default_rng(self.seed)  # only for legacy callers
         self._cache: Optional[Dict] = {} if cache else None
 
         if n_spk and n_spk > 1 and self.spk_map and max(self.spk_map.values()) > n_spk:
@@ -66,6 +71,12 @@ class DiffusionDataset:
 
     def __len__(self) -> int:
         return len(self.paths)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
+
+    def _item_rng(self, idx) -> np.random.Generator:
+        return np.random.default_rng([self.seed, self.epoch, int(idx)])
 
     def _load(self, name_ext: str, kind: str) -> np.ndarray:
         if self._cache is not None and (name_ext, kind) in self._cache:
@@ -76,18 +87,21 @@ class DiffusionDataset:
         return arr
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        g = self._item_rng(idx)
         for attempt in range(len(self.paths)):
             name_ext = self.paths[(idx + attempt) % len(self.paths)]
             try:
-                item = self._get(name_ext)
+                item = self._get(name_ext, g)
                 if item is not None:
                     return item
             except (OSError, ValueError, KeyError):
                 continue
         raise RuntimeError("diffusion dataset: no loadable item found")
 
-    def _get(self, name_ext: str) -> Optional[Dict[str, np.ndarray]]:
-        mel_kind = "aug_mel" if (self.use_aug and self.rng.random() < 0.5) else "mel"
+    def _get(self, name_ext: str, g: Optional[np.random.Generator] = None) -> Optional[Dict[str, np.ndarray]]:
+        if g is None:
+            g = self.rng
+        mel_kind = "aug_mel" if (self.use_aug and g.random() < 0.5) else "mel"
         try:
             stats = self._load(name_ext, mel_kind).astype(np.float32)  # (T, 2C)
         except FileNotFoundError:
@@ -98,7 +112,7 @@ class DiffusionDataset:
         if self.only_mean:
             mel = m
         else:
-            mel = m + self.rng.standard_normal(m.shape).astype(np.float32) * np.exp(logs)
+            mel = m + g.standard_normal(m.shape).astype(np.float32) * np.exp(logs)
         if self.clamp and self.clamp > 0:
             mel = np.clip(mel, -self.clamp, self.clamp)
 
@@ -109,7 +123,7 @@ class DiffusionDataset:
         frame_len = T if self.whole_audio else self.frame_len
         if T < frame_len + 2 and not self.whole_audio:
             return None  # too short; caller advances
-        start = 0 if self.whole_audio else int(self.rng.integers(0, max(T - frame_len, 1)))
+        start = 0 if self.whole_audio else int(g.integers(0, max(T - frame_len, 1)))
         mel = mel[start : start + frame_len]
         units = units[start : start + frame_len]
 
@@ -173,10 +187,11 @@ class DiffusionDataset:
         # its own path; only unusable paths are re-drawn uniformly from the
         # usable pool (matches batch()'s skip-and-advance semantics in law)
         probed = self._probed
+        gs = [self._item_rng(i) for i in indices]  # (seed, epoch, index)-keyed
         names = [
             self.paths[i] if self.paths[i] in probed
-            else self._fast_paths[int(self.rng.integers(0, len(self._fast_paths)))]
-            for i in indices
+            else self._fast_paths[int(g.integers(0, len(self._fast_paths)))]
+            for i, g in zip(indices, gs)
         ]
         mel_dim = self._probed[names[0]][1]  # latent C (probe stores bytes//8 = C)
         unit_dim = self._probed[names[0]][3]
@@ -184,19 +199,19 @@ class DiffusionDataset:
         # per-item 50% aug_mel draw (reference data_loaders.py aug parity)
         kinds = [
             "aug_mel"
-            if (self.use_aug and name in self._probed_aug and self.rng.random() < 0.5)
+            if (self.use_aug and name in self._probed_aug and g.random() < 0.5)
             else "mel"
-            for name in names
+            for name, g in zip(names, gs)
         ]
 
         # choose crops; units read window sized by the worst-case ratio
         mel_paths, unit_paths, mel_starts, unit_starts = [], [], [], []
         count_u = 0
         metas = []
-        for name, kind in zip(names, kinds):
+        for name, kind, g in zip(names, kinds, gs):
             _, _, unit_rows, _ = self._probed[name]
             mel_rows = self._probed_aug[name][0] if kind == "aug_mel" else self._probed[name][0]
-            s = int(self.rng.integers(0, max(mel_rows - F, 1)))
+            s = int(g.integers(0, max(mel_rows - F, 1)))
             ratio = unit_rows / mel_rows
             metas.append((name, s, mel_rows, unit_rows, ratio))
             count_u = max(count_u, int(np.ceil((F + 1) * ratio)) + 1)
@@ -215,7 +230,8 @@ class DiffusionDataset:
         if self.only_mean:
             mel = m
         else:
-            mel = m + self.rng.standard_normal(m.shape).astype(np.float32) * np.exp(logs)
+            noise = np.stack([g.standard_normal(m.shape[1:]) for g in gs]).astype(np.float32)
+            mel = m + noise * np.exp(logs)
         if self.clamp and self.clamp > 0:
             mel = np.clip(mel, -self.clamp, self.clamp)
 

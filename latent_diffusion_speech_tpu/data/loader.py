@@ -59,8 +59,11 @@ class DataLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def set_epoch(self, epoch: int) -> None:
-        """Select the (seed, epoch)-keyed shuffle for the next iteration."""
+        """Select the (seed, epoch)-keyed shuffle for the next iteration; the
+        dataset's augmentation draws follow if it exposes set_epoch too."""
         self.epoch = int(epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def skip_batches(self, n: int) -> None:
         """Skip the first n batches of the NEXT iteration (mid-epoch resume);

@@ -44,12 +44,11 @@ class TestFastBatch:
         assert batch["mel"].shape == (4, 50, MEL_DIM)
         assert batch["units"].shape == (4, 50, UNIT_DIM)
 
-        # replay the rng to recover the chosen starts
-        replay = np.random.default_rng(3 + 0)
+        # replay the (seed, epoch, index)-keyed rng to recover the chosen starts
         names = [ds._fast_paths[i % len(ds._fast_paths)] for i in [0, 1, 2, 3]]
         for b, name in enumerate(names):
             mel_rows, _, unit_rows, _ = ds._probed[name]
-            s = int(replay.integers(0, max(mel_rows - 50, 1)))
+            s = int(np.random.default_rng([3 + 0, 0, b]).integers(0, max(mel_rows - 50, 1)))
             mel_full = np.load(pipeline_dir / "mel" / (name + ".npy"))
             expect_mel = mel_full[s : s + 50, :MEL_DIM]  # only_mean
             np.testing.assert_allclose(batch["mel"][b], expect_mel, atol=1e-6)

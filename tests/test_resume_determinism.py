@@ -98,6 +98,33 @@ class TestLoaderDeterminism:
         assert [b["i"][:, 0].tolist() for b in lo] == full
 
 
+class TestDatasetKeyedDraws:
+    def test_item_draws_keyed_on_epoch_and_index(self, tmp_path):
+        from latent_diffusion_speech_tpu.data import DiffusionDataset
+
+        g = np.random.default_rng(0)
+        root = tmp_path / "train"
+        (root / "audio" / "1").mkdir(parents=True)
+        for n in range(2):
+            (root / "audio" / "1" / f"{n}.wav").write_bytes(b"")
+            for kind, arr in [
+                ("mel", g.standard_normal((80, 8)).astype(np.float32)),
+                ("units", g.standard_normal((40, 4)).astype(np.float32)),
+            ]:
+                (root / kind / "1").mkdir(parents=True, exist_ok=True)
+                np.save(root / kind / "1" / f"{n}.wav.npy", arr)
+
+        ds = DiffusionDataset(root, waveform_sec=1.0, hop_size=2, sample_rate=100, n_spk=2)
+        a = ds[0]
+        b = ds[0]  # same (epoch, index) -> identical crop + latent noise
+        np.testing.assert_array_equal(a["mel"], b["mel"])
+        ds.set_epoch(1)
+        c = ds[0]  # new epoch -> a fresh draw
+        assert not np.array_equal(a["mel"], c["mel"])
+        ds.set_epoch(0)
+        np.testing.assert_array_equal(a["mel"], ds[0]["mel"])
+
+
 class TestCheckpointMeta:
     def test_meta_sidecar_roundtrip_and_retention(self, tmp_path):
         params = {"w": np.ones((2, 2), np.float32)}
