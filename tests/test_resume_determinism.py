@@ -17,7 +17,7 @@ import jax
 from latent_diffusion_speech_tpu.config import Config
 from latent_diffusion_speech_tpu.data import DataLoader
 from latent_diffusion_speech_tpu.models.diffusion import Unit2MelConfig
-from latent_diffusion_speech_tpu.train import DiffusionTrainer, save_checkpoint
+from latent_diffusion_speech_tpu.train import DiffusionTrainer, LMTrainer, save_checkpoint
 from latent_diffusion_speech_tpu.train.checkpoint import load_checkpoint_meta
 
 UNIT_DIM = 8
@@ -160,6 +160,80 @@ class TestTrainerResumeDeterminism:
         assert (t_b2._epoch, t_b2._batch_in_epoch) == (0, 2)
         t_b2.train(loader(), max_steps=6)
         assert t_b2.step == 6
+
+        for a, b in zip(
+            jax.tree_util.tree_leaves(t_a.system.params),
+            jax.tree_util.tree_leaves(t_b2.system.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+class TestLMTrainerResumeDeterminism:
+    @pytest.mark.slow
+    def test_interrupted_lm_run_matches_uninterrupted(self, tmp_path):
+        from latent_diffusion_speech_tpu.models.lm import RoformerConfig
+        from latent_diffusion_speech_tpu.models.lm.roformer import StackConfig
+
+        tiny_lm = RoformerConfig(
+            encoder=StackConfig(hidden_size=16, num_attention_heads=2,
+                                num_hidden_layers=1, intermediate_size=16,
+                                hidden_dropout_prob=0.0),
+            decoder=StackConfig(hidden_size=16, num_attention_heads=2,
+                                num_hidden_layers=1, intermediate_size=16,
+                                hidden_dropout_prob=0.0),
+            semantic_kmeans_num=16,
+            n_spk=2,
+        )
+
+        g = np.random.default_rng(1)
+        items = [
+            {
+                "phone": g.integers(1, 20, (10,)).astype(np.int32),
+                "tone": g.integers(0, 4, (10,)).astype(np.int32),
+                "semantic": g.integers(0, 16, (14,)).astype(np.int32),
+                "spk_id": np.full((10,), 1, np.int32),
+            }
+            for _ in range(8)
+        ]
+
+        from latent_diffusion_speech_tpu.data import collate_text_batch
+
+        class LMDataset:
+            def __len__(self):
+                return len(items)
+
+            def __getitem__(self, i):
+                return items[i]
+
+        def collate(batch):
+            return collate_text_batch(batch, phone_pad=tiny_lm.phone_pad,
+                                      semantic_pad=tiny_lm.semantic_pad, pad_multiple=8)
+
+        def loader():
+            return DataLoader(LMDataset(), batch_size=4, collate=collate, shuffle=True, seed=2)
+
+        def cfg(path):
+            c = Config()
+            c.common.n_spk = 2
+            c.text2semantic.train.batch_size = 4
+            c.text2semantic.train.expdir = str(path / "exp_lm")
+            c.text2semantic.train.warm_up_steps = 2
+            c.text2semantic.train.save_opt = True
+            c.text2semantic.train.interval_val = 10_000
+            c.text2semantic.train.interval_log = 10_000
+            return c
+
+        t_a = LMTrainer(cfg(tmp_path / "a"), lm_cfg=tiny_lm)
+        t_a.train(loader(), max_steps=5)
+        assert t_a.step == 5
+
+        cfg_b = cfg(tmp_path / "b")
+        t_b1 = LMTrainer(cfg_b, lm_cfg=tiny_lm)
+        t_b1.train(loader(), max_steps=3)
+        t_b2 = LMTrainer(cfg_b, lm_cfg=tiny_lm)
+        assert t_b2.resume()
+        assert (t_b2._epoch, t_b2._batch_in_epoch) == (1, 1)
+        t_b2.train(loader(), max_steps=5)
 
         for a, b in zip(
             jax.tree_util.tree_leaves(t_a.system.params),
