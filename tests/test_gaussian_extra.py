@@ -55,8 +55,16 @@ class TestDatasetAug:
     def test_use_aug_draws_both(self, aug_dir):
         ds = DiffusionDataset(aug_dir, waveform_sec=1.0, hop_size=2, sample_rate=100,
                               use_aug=True, only_mean=True, clamp=-1, seed=0)
-        scales = {float(np.abs(ds[0]["mel"]).max()) > 20 for _ in range(20)}
+        # draws are (seed, epoch, index)-keyed: the same (epoch, index) always
+        # picks the same kind; both kinds appear across epochs
+        scales = set()
+        for epoch in range(20):
+            ds.set_epoch(epoch)
+            scales.add(float(np.abs(ds[0]["mel"]).max()) > 20)
         assert scales == {True, False}  # both mel and aug_mel selected over draws
+        ds.set_epoch(3)
+        a = float(np.abs(ds[0]["mel"]).max()) > 20
+        assert a == (float(np.abs(ds[0]["mel"]).max()) > 20)  # repeatable
 
     def test_loader_keep_last(self, aug_dir):
         ds = DiffusionDataset(aug_dir, waveform_sec=1.0, hop_size=2, sample_rate=100, only_mean=True)
