@@ -43,7 +43,10 @@ def build_pipeline(cfg, diffusion_ckpt=None, lm_ckpt=None, dtype=None):
         n_hidden=cfg.diffusion.model.n_hidden,
         acoustic_scale=cfg.data.acoustic_scale,
     )
-    diffusion = Unit2MelSystem(model_cfg, dtype=dtype)
+    diffusion = Unit2MelSystem(
+        model_cfg, dtype=dtype,
+        weight_quant=getattr(cfg.common.infer, "weight_quant", "") or None,
+    )
     if diffusion_ckpt:
         _, params, _ = load_checkpoint(Path(diffusion_ckpt).parent, diffusion.params)
         diffusion.params = params
@@ -67,6 +70,8 @@ def main():
     p.add_argument("--lm-model", type=str, default=None, help="LM checkpoint path")
     p.add_argument("--speedup", type=int, default=None)
     p.add_argument("--method", type=str, default=None)
+    p.add_argument("--weight-quant", type=str, default=None, choices=["int8"],
+                   help="serve-only int8 UNet weights (fused dequant)")
     p.add_argument("--long", action="store_true",
                    help="segment long text into sentence-sized pieces and "
                         "synthesize them as one batched call (tts_long_text)")
@@ -77,6 +82,8 @@ def main():
 
     from latent_diffusion_speech_tpu.ops.audio_io import write_wav
 
+    if args.weight_quant:
+        cfg.common.infer.weight_quant = args.weight_quant
     pipe = build_pipeline(cfg, args.model, args.lm_model)
     kw = dict(
         language=args.language,

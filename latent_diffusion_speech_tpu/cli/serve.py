@@ -254,6 +254,8 @@ def main():
     p.add_argument("--max-wait-ms", type=float, default=30.0)
     p.add_argument("--speedup", type=int, default=None)
     p.add_argument("--method", type=str, default=None)
+    p.add_argument("--weight-quant", type=str, default=None, choices=["int8"],
+                   help="serve-only int8 UNet weights (fused dequant)")
     p.add_argument(
         "--auth-token",
         type=str,
@@ -267,6 +269,8 @@ def main():
     from latent_diffusion_speech_tpu.cli.infer_tts import build_pipeline
     from latent_diffusion_speech_tpu.infer import TTSServer
 
+    if args.weight_quant:
+        cfg.common.infer.weight_quant = args.weight_quant
     pipe = build_pipeline(cfg, args.model, args.lm_model)
     with TTSServer(
         pipe,

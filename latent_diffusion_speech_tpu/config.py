@@ -78,6 +78,9 @@ class VocoderConfig:
 class InferConfig:
     method: str = "unipc"      # unipc | dpm-solver | ddim | pndm | ddpm
     speedup: int = 10
+    # serve-only weight quantization: None | 'int8' (per-channel, fused
+    # dequant in the sampling scan — ops/weight_quant.py)
+    weight_quant: str = ""
 
 
 @dataclass

@@ -91,6 +91,7 @@ def load_reference_pipeline(
         model_cfg,
         params=jax.tree_util.tree_map(jnp.asarray, unit2mel_params_from_torch(state, model_cfg)),
         dtype=dtype,
+        weight_quant=getattr(cfg.common.infer, "weight_quant", "") or None,
     )
 
     codebook = None
