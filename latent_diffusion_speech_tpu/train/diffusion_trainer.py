@@ -268,6 +268,29 @@ class DiffusionTrainer:
         self._batch_in_epoch = int(meta.get("batch_in_epoch", 0))
         return True
 
+    def _step_mfu(self, batch, rng, steps_per_sec) -> Optional[float]:
+        """Analytic MFU from XLA cost analysis, computed once per shape.
+        None when the backend exposes no cost analysis or peak is unknown."""
+        if not hasattr(self, "_step_flops"):
+            self._step_flops = None
+            try:
+                ca = self._train_step.lower(
+                    self.system.params, self.opt_state, batch, rng, self.vq_state
+                ).compile().cost_analysis()
+                if isinstance(ca, list):
+                    ca = ca[0]
+                self._step_flops = float(ca["flops"])
+            except Exception:
+                pass
+            dev = jax.devices()[0]
+            kind = getattr(dev, "device_kind", "").lower()
+            peaks = [("v5 lite", 197e12), ("v5e", 197e12), ("v6", 918e12),
+                     ("v5p", 459e12), ("v5", 459e12), ("v4", 275e12)]
+            self._peak_flops = next((p for sub, p in peaks if sub in kind), None)
+        if self._step_flops is None or not self._peak_flops:
+            return None
+        return self._step_flops * steps_per_sec / self._peak_flops
+
     def train(self, loader, val_loader=None, max_steps: Optional[int] = None, logger=None,
               shutdown=None):
         """Epoch loop mirroring `solver.train` (solver.py:87-152), plus
@@ -296,20 +319,25 @@ class DiffusionTrainer:
                     # per-step key: the noise/t draws are a pure function of
                     # (seed, step) — identical across resumes and restarts
                     sub = jax.random.fold_in(base_rng, self.step)
-                    metrics = self.train_step(self.device_put_batch(batch), sub)
+                    device_batch = self.device_put_batch(batch)
+                    batch_size = int(device_batch["mel"].shape[0])
+                    metrics = self.train_step(device_batch, sub)
                     self._batch_in_epoch += 1
                     if self.step % tcfg.interval_log == 0:
                         dt = time.time() - last_t
                         last_t = time.time()
                         if logger:
-                            logger.log(
-                                self.step,
-                                {
-                                    "train/loss": float(metrics["loss"]),
-                                    "train/grad_norm": float(metrics["grad_norm"]),
-                                    "train/steps_per_sec": tcfg.interval_log / max(dt, 1e-9),
-                                },
-                            )
+                            steps_per_sec = tcfg.interval_log / max(dt, 1e-9)
+                            log = {
+                                "train/loss": float(metrics["loss"]),
+                                "train/grad_norm": float(metrics["grad_norm"]),
+                                "train/steps_per_sec": steps_per_sec,
+                                "train/samples_per_sec": steps_per_sec * batch_size,
+                            }
+                            mfu = self._step_mfu(device_batch, sub, steps_per_sec)
+                            if mfu is not None:
+                                log["train/mfu"] = mfu
+                            logger.log(self.step, log)
                     if self.step % tcfg.interval_val == 0:
                         self.save()
                         if val_loader is not None:
