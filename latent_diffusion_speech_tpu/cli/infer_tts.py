@@ -30,7 +30,11 @@ def build_pipeline(cfg, diffusion_ckpt=None, lm_ckpt=None, dtype=None):
         codebook = load_codebook(cfg.text2semantic.model.codebook_path)
     except (FileNotFoundError, ValueError):
         print("[!] no semantic codebook found; using random centroids")
-        codebook = np.random.default_rng(0).standard_normal((cfg.text2semantic.model.semantic_kmeans_num, 1280)).astype(np.float32)
+        from latent_diffusion_speech_tpu.models.units import get_encoder_out_channels
+
+        codebook = np.random.default_rng(0).standard_normal(
+            (cfg.text2semantic.model.semantic_kmeans_num, get_encoder_out_channels(cfg.data.encoder))
+        ).astype(np.float32)
 
     model_cfg = Unit2MelConfig(
         input_channel=codebook.shape[1],

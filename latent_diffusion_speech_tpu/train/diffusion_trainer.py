@@ -49,7 +49,10 @@ class DiffusionTrainer:
         self.cfg = cfg
         tcfg = cfg.diffusion.train
         self.mesh = mesh if mesh is not None else build_mesh(cfg.parallel)
+        from latent_diffusion_speech_tpu.models.units import get_encoder_out_channels
+
         self.model_cfg = model_cfg or Unit2MelConfig(
+            input_channel=get_encoder_out_channels(cfg.data.encoder),
             n_spk=cfg.common.n_spk,
             use_pitch_aug=cfg.diffusion.model.use_pitch_aug,
             out_dims=cfg.diffusion.model.out_dims,
