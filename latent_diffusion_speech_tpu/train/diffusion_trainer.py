@@ -225,6 +225,10 @@ class DiffusionTrainer:
                 mel = self.validate(batch, r2)
                 if logger is not None:
                     logger.log(self.step, {"val/mel_abs_err": float(jnp.mean(jnp.abs(mel - batch["mel"])))})
+                    # |pred-gt| / gt / pred triptych (reference saver.py:57-65)
+                    logger.log_spec_comparison(
+                        self.step, "val/spec", np.asarray(mel[0]), np.asarray(batch["mel"][0])
+                    )
                 if vocoder is not None and logger is not None:
                     wav = vocoder.infer(mel[:1])
                     logger.log_audio(self.step, "val/audio", np.asarray(wav[0]), vocoder.vocoder_sample_rate)
