@@ -43,6 +43,7 @@ class DataLoader:
         # set_epoch semantics; the reference cannot do this)
         self.epoch = 0
         self._skip_next = 0
+        self._pool = None  # lazy item-load thread pool (num_threads > 1)
         self.device_put = device_put
         # native fast path: datasets exposing fast_batch (C++ batched reads)
         self._fast = None
@@ -88,7 +89,16 @@ class DataLoader:
                 self._fast = False
                 return self._make_batch(indices)
         else:
-            items = [self.dataset[int(i)] for i in indices]
+            if self.num_threads > 1:
+                # safe + deterministic: items draw from (seed, epoch, index)-
+                # keyed generators, never from shared loader/dataset state
+                if self._pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    self._pool = ThreadPoolExecutor(self.num_threads)
+                items = list(self._pool.map(lambda i: self.dataset[int(i)], indices))
+            else:
+                items = [self.dataset[int(i)] for i in indices]
             if self.collate is not None:
                 batch = self.collate(items)
             else:

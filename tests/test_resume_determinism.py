@@ -125,6 +125,36 @@ class TestDatasetKeyedDraws:
         np.testing.assert_array_equal(a["mel"], ds[0]["mel"])
 
 
+class TestThreadedItemLoading:
+    def test_threaded_loader_bitwise_equals_serial(self, tmp_path):
+        """num_threads > 1 must not change the stream: keyed draws make
+        parallel item assembly bit-deterministic."""
+        from latent_diffusion_speech_tpu.data import DiffusionDataset
+
+        g = np.random.default_rng(0)
+        root = tmp_path / "train"
+        for spk in ("1", "2"):
+            (root / "audio" / spk).mkdir(parents=True)
+            for n in range(3):
+                (root / "audio" / spk / f"{n}.wav").write_bytes(b"")
+                for kind, arr in [
+                    ("mel", g.standard_normal((80, 8)).astype(np.float32)),
+                    ("units", g.standard_normal((40, 4)).astype(np.float32)),
+                ]:
+                    (root / kind / spk).mkdir(parents=True, exist_ok=True)
+                    np.save(root / kind / spk / f"{n}.wav.npy", arr)
+
+        def stream(n_threads):
+            ds = DiffusionDataset(root, waveform_sec=1.0, hop_size=2, sample_rate=100, n_spk=2)
+            lo = DataLoader(ds, batch_size=2, shuffle=True, seed=4, num_threads=n_threads)
+            lo.set_epoch(1)
+            return list(lo)
+
+        for a, b in zip(stream(1), stream(4)):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+
 class TestCheckpointMeta:
     def test_meta_sidecar_roundtrip_and_retention(self, tmp_path):
         params = {"w": np.ones((2, 2), np.float32)}
