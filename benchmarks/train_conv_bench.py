@@ -68,9 +68,11 @@ def measure(conv_impl: str) -> dict:
 
 
 def main():
+    from latent_diffusion_speech_tpu.utils.flops import device_peak_flops
+
     dev = jax.devices()[0]
     results = [measure("xla"), measure("matmul")]
-    peak = 197e12 if "v5" in getattr(dev, "device_kind", "").lower() else None
+    peak = device_peak_flops(dev)
     for r in results:
         if peak and r["flops"]:
             r["mfu"] = r["flops"] / (r["step_ms"] / 1e3) / peak

@@ -122,8 +122,11 @@ def main() -> None:
     run("train_diffusion", "--max-steps", "10")
     run("train_lm", "--max-steps", "10")
 
-    diff_ckpt = max((WORK / "exp" / "diffusion").glob("model_*.ckpt"))
-    lm_ckpt = max((WORK / "exp" / "lm").glob("model_*.ckpt"))
+    from latent_diffusion_speech_tpu.train.checkpoint import latest_checkpoint_step
+
+    diff_dir, lm_dir = WORK / "exp" / "diffusion", WORK / "exp" / "lm"
+    diff_ckpt = diff_dir / f"model_{latest_checkpoint_step(diff_dir)}.ckpt"
+    lm_ckpt = lm_dir / f"model_{latest_checkpoint_step(lm_dir)}.ckpt"
     out = WORK / "quickstart.wav"
     run("infer_tts", "-i", "你好世界", "-o", str(out),
         "--model", str(diff_ckpt), "--lm-model", str(lm_ckpt))

@@ -63,11 +63,14 @@ class DiffusionDataset:
         # keyed on (seed, epoch, index): set_epoch + the loader's epoch-keyed
         # shuffle make the whole input stream bit-reproducible across resumes
         self.epoch = 0
-        self.rng = np.random.default_rng(self.seed)  # only for legacy callers
         self._cache: Optional[Dict] = {} if cache else None
 
         if n_spk and n_spk > 1 and self.spk_map and max(self.spk_map.values()) > n_spk:
             raise ValueError("[x] spk_id must be a positive integer from 1 to n_spk")
+
+    # __getitem__/fast_batch draw only from per-call (seed, epoch, index)-keyed
+    # generators — safe for the loader's threaded item assembly
+    thread_safe_items = True
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -98,9 +101,7 @@ class DiffusionDataset:
                 continue
         raise RuntimeError("diffusion dataset: no loadable item found")
 
-    def _get(self, name_ext: str, g: Optional[np.random.Generator] = None) -> Optional[Dict[str, np.ndarray]]:
-        if g is None:
-            g = self.rng
+    def _get(self, name_ext: str, g: np.random.Generator) -> Optional[Dict[str, np.ndarray]]:
         mel_kind = "aug_mel" if (self.use_aug and g.random() < 0.5) else "mel"
         try:
             stats = self._load(name_ext, mel_kind).astype(np.float32)  # (T, 2C)

@@ -21,6 +21,8 @@ __all__ = ["TextDataset", "collate_text_batch", "collate_llama_batch"]
 
 
 class TextDataset:
+    thread_safe_items = True  # items are pure functions of the files on disk
+
     def __init__(
         self,
         path_root: str | Path,

@@ -59,6 +59,17 @@ class DataLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def set_epoch(self, epoch: int) -> None:
         """Select the (seed, epoch)-keyed shuffle for the next iteration; the
         dataset's augmentation draws follow if it exposes set_epoch too."""
@@ -89,9 +100,11 @@ class DataLoader:
                 self._fast = False
                 return self._make_batch(indices)
         else:
-            if self.num_threads > 1:
-                # safe + deterministic: items draw from (seed, epoch, index)-
-                # keyed generators, never from shared loader/dataset state
+            # threaded item assembly ONLY for datasets that declare their
+            # __getitem__ draws are (seed, epoch, index)-keyed / stateless
+            # (thread_safe_items) — shared-rng datasets would interleave
+            # draws nondeterministically
+            if self.num_threads > 1 and getattr(self.dataset, "thread_safe_items", False):
                 if self._pool is None:
                     from concurrent.futures import ThreadPoolExecutor
 

@@ -276,27 +276,30 @@ class DiffusionTrainer:
         return True
 
     def _step_mfu(self, batch, rng, steps_per_sec) -> Optional[float]:
-        """Analytic MFU from XLA cost analysis, computed once per shape.
+        """Analytic MFU from XLA cost analysis, computed once per batch shape.
         None when the backend exposes no cost analysis or peak is unknown."""
+        from latent_diffusion_speech_tpu.utils.flops import device_peak_flops
+
+        shape_key = tuple(batch["mel"].shape)
         if not hasattr(self, "_step_flops"):
-            self._step_flops = None
+            self._step_flops = {}
+            self._peak_flops = device_peak_flops(jax.devices()[0])
+        if shape_key not in self._step_flops:
+            flops = None
             try:
                 ca = self._train_step.lower(
                     self.system.params, self.opt_state, batch, rng, self.vq_state
                 ).compile().cost_analysis()
                 if isinstance(ca, list):
                     ca = ca[0]
-                self._step_flops = float(ca["flops"])
+                flops = float(ca["flops"])
             except Exception:
                 pass
-            dev = jax.devices()[0]
-            kind = getattr(dev, "device_kind", "").lower()
-            peaks = [("v5 lite", 197e12), ("v5e", 197e12), ("v6", 918e12),
-                     ("v5p", 459e12), ("v5", 459e12), ("v4", 275e12)]
-            self._peak_flops = next((p for sub, p in peaks if sub in kind), None)
-        if self._step_flops is None or not self._peak_flops:
+            self._step_flops[shape_key] = flops
+        flops = self._step_flops[shape_key]
+        if flops is None or not self._peak_flops:
             return None
-        return self._step_flops * steps_per_sec / self._peak_flops
+        return flops * steps_per_sec / self._peak_flops
 
     def train(self, loader, val_loader=None, max_steps: Optional[int] = None, logger=None,
               shutdown=None):
@@ -348,7 +351,9 @@ class DiffusionTrainer:
                     if self.step % tcfg.interval_val == 0:
                         self.save()
                         if val_loader is not None:
-                            vr = jax.random.fold_in(base_rng, -self.step)
+                            # nested fold_in: a validation key stream disjoint
+                            # from the train keys (fold_in requires uint32 data)
+                            vr = jax.random.fold_in(jax.random.fold_in(base_rng, self.step), 1)
                             self.validate_full(val_loader, vr, logger=logger)
                     if max_steps and self.step >= max_steps:
                         self.save()

@@ -198,6 +198,21 @@ class TestTrainerResumeDeterminism:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
 
 
+class TestValidationDuringTrain:
+    def test_interval_val_with_val_loader_does_not_crash(self, tmp_path):
+        """Regression: the validation key was fold_in(key, -step), which
+        raises OverflowError (uint32) under numpy>=2 — training died at the
+        first interval_val whenever a val_loader was passed."""
+        ds = _DetDataset()
+        cfg = _cfg(tmp_path)
+        cfg.diffusion.train.interval_val = 2
+        trainer = DiffusionTrainer(cfg, model_cfg=TINY_MODEL)
+        loader = DataLoader(ds, batch_size=4, shuffle=True, seed=9)
+        val_loader = DataLoader(ds, batch_size=4, shuffle=False, seed=9)
+        trainer.train(loader, val_loader=val_loader, max_steps=2)
+        assert trainer.step == 2
+
+
 class TestLMTrainerResumeDeterminism:
     @pytest.mark.slow
     def test_interrupted_lm_run_matches_uninterrupted(self, tmp_path):
