@@ -50,7 +50,12 @@ def main():
         cache=tcfg.cache_all_data,
     )
     loader = DataLoader(dataset, tcfg.batch_size, shuffle=True, seed=tcfg.seed)
-    logger = MetricsLogger(tcfg.expdir, config_snapshot=config_to_dict(cfg))
+    # rank-0-only logging (reference: Saver_empty on non-main ranks)
+    logger = (
+        MetricsLogger(tcfg.expdir, config_snapshot=config_to_dict(cfg))
+        if process_index() == 0
+        else None
+    )
     trainer.train(loader, max_steps=args.max_steps, logger=logger)
 
 

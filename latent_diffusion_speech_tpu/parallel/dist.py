@@ -39,6 +39,13 @@ def initialize_distributed(
     # runs single-process and multi-device locally.
     coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator_address:
+        # Cross-process collectives on the CPU backend need a real transport;
+        # jaxlib ships gloo.  Harmless for TPU (ICI collectives don't use it),
+        # required for the multi-process CPU-simulated mesh used in tests.
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass  # older/newer jaxlib without the option
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

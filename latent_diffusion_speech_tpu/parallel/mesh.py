@@ -105,7 +105,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Device-put a host pytree with batch-dim sharding over the data axis.
     Arrays whose batch dim does not divide the data-axis size are replicated
-    (correct, just not sharded — keeps small/ragged eval batches working)."""
+    (correct, just not sharded — keeps small/ragged eval batches working).
+
+    When the mesh spans multiple processes the batch is interpreted as this
+    process's *local* shard and stitched into a global array (multi-host DP:
+    each host loads `paths[process_index::process_count]`, so no host ever
+    holds the global batch)."""
+    from latent_diffusion_speech_tpu.parallel.multihost import (
+        global_shard_batch,
+        mesh_spans_processes,
+    )
+
+    if mesh_spans_processes(mesh):
+        return global_shard_batch(mesh, batch)
     data_size = mesh.shape[AXIS_DATA]
 
     def put(x):

@@ -238,6 +238,13 @@ class DiffusionTrainer:
         return metrics
 
     def save(self):
+        # rank-0-only write (reference: Saver_empty on non-main ranks,
+        # solver.py:88-91); in multi-host runs every process reaches here with
+        # the same fully-replicated global params, so skipping is lossless.
+        from latent_diffusion_speech_tpu.parallel.dist import is_main_process
+
+        if not is_main_process():
+            return
         tcfg = self.cfg.diffusion.train
         save_checkpoint(
             tcfg.expdir,

@@ -264,6 +264,11 @@ class LMTrainer:
                 logger.log_audio(self.step, f"val/audio_{i}", wav, sr)
 
     def save(self):
+        # rank-0-only write (reference: Saver_empty on non-main ranks)
+        from latent_diffusion_speech_tpu.parallel.dist import is_main_process
+
+        if not is_main_process():
+            return
         tcfg = self.cfg.text2semantic.train
         save_checkpoint(
             tcfg.expdir, self.step, self.system.params,

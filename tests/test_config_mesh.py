@@ -99,3 +99,36 @@ class TestMesh:
 
     def test_is_main_process(self):
         assert is_main_process() is True
+
+
+class TestMultihostHelpers:
+    """Single-process checks of parallel/multihost.py; the real 2-process
+    cluster path is tests/test_multiprocess.py (slow)."""
+
+    def test_mesh_spans_processes_false_single_process(self):
+        from latent_diffusion_speech_tpu.parallel.multihost import mesh_spans_processes
+
+        assert mesh_spans_processes(build_mesh()) is False
+
+    def test_global_shard_batch_single_process_equals_shard_batch(self):
+        # with one process, local data IS the global batch; the stitcher must
+        # produce the same global arrays + shardings as the device_put path
+        from latent_diffusion_speech_tpu.parallel.multihost import global_shard_batch
+
+        mesh = build_mesh()
+        batch = {
+            "x": np.arange(16 * 4, dtype=np.float32).reshape(16, 4),
+            "step": np.asarray(3, np.int32),
+        }
+        g = global_shard_batch(mesh, batch)
+        s = shard_batch(mesh, {"x": batch["x"]})
+        np.testing.assert_array_equal(np.asarray(g["x"]), batch["x"])
+        assert g["x"].sharding.spec == s["x"].sharding.spec
+        assert int(g["step"]) == 3  # 0-d replicated
+
+    def test_global_shard_batch_bad_tiling_raises(self):
+        from latent_diffusion_speech_tpu.parallel.multihost import global_shard_batch
+
+        mesh = build_mesh()
+        with pytest.raises(ValueError, match="does not tile"):
+            global_shard_batch(mesh, {"x": np.zeros((3, 2), np.float32)})
