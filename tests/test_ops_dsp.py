@@ -204,3 +204,35 @@ class TestAudioIO:
         assert sr == 44100
         atol = 1e-4 if subtype == "pcm16" else 1e-7
         np.testing.assert_allclose(out, y, atol=atol)
+
+    def test_non_wav_without_ffmpeg_raises_with_guidance(self, tmp_path, monkeypatch):
+        import shutil as _shutil
+
+        p = tmp_path / "x.mp3"
+        p.write_bytes(b"ID3\x04\x00" + b"\x00" * 64)
+        monkeypatch.setattr(_shutil, "which", lambda name: None)
+        from latent_diffusion_speech_tpu.ops.audio_io import load_audio
+
+        with pytest.raises(ValueError, match="ffmpeg"):
+            load_audio(p)
+
+    def test_non_wav_decodes_via_ffmpeg_when_present(self, tmp_path, monkeypatch):
+        # stub `ffmpeg` on PATH emitting a known f32le stream (reference
+        # whisper/audio.py:15-32 pipes exactly this format)
+        import os
+
+        ref = np.linspace(-0.5, 0.5, 64, dtype=np.float32)
+        raw = tmp_path / "ref.f32"
+        raw.write_bytes(ref.tobytes())
+        stub = tmp_path / "ffmpeg"
+        stub.write_text(f"#!/bin/sh\ncat {raw}\n")
+        stub.chmod(0o755)
+        monkeypatch.setenv("PATH", f"{tmp_path}{os.pathsep}{os.environ['PATH']}")
+
+        p = tmp_path / "x.mp3"
+        p.write_bytes(b"ID3\x04\x00" + b"\x00" * 64)
+        from latent_diffusion_speech_tpu.ops.audio_io import load_audio
+
+        out, sr = load_audio(p, target_sr=16000)
+        assert sr == 16000
+        np.testing.assert_array_equal(out, ref)
