@@ -14,9 +14,14 @@ fetch to sync).  Run on the real chip:
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
+
+
+def _note(msg: str) -> None:
+    print(f"[train_conv_bench] {msg}", file=sys.stderr, flush=True)
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
@@ -33,9 +38,11 @@ N_PRIME, N_CHAIN = 30, 30
 
 
 def measure(conv_impl: str) -> dict:
+    _note(f"building trainer conv_impl={conv_impl}")
     cfg = Config()
     cfg.diffusion.model.conv_impl = conv_impl
     trainer = DiffusionTrainer(cfg, dtype=jnp.bfloat16)
+    _note("trainer built; lowering for cost analysis")
     rng_np = np.random.default_rng(3)
     batch = trainer.device_put_batch({
         "units": rng_np.standard_normal((B, T, 1280)).astype(np.float32),
@@ -52,8 +59,10 @@ def measure(conv_impl: str) -> dict:
     except Exception:
         flops = None
 
+    _note("cost analysis done; compiling + first step")
     metrics = trainer.train_step(batch, jax.random.PRNGKey(1))
     float(metrics["loss"])  # compile + sync
+    _note("first step done; priming")
     for i in range(N_PRIME):
         metrics = trainer.train_step(batch, jax.random.PRNGKey(200 + i))
     float(metrics["loss"])  # primed

@@ -206,10 +206,11 @@ class ParallelConfig:
     data: int = -1      # -1: all remaining devices on the data axis
     model: int = 1      # tensor-parallel axis size
     seq: int = 1        # sequence/context-parallel axis size
+    pipe: int = 1       # pipeline-parallel axis size (GPipe microbatching)
     dcn_data: int = 1   # data-parallel replicas across slices (DCN)
 
     def axis_names(self) -> Tuple[str, ...]:
-        return ("data", "seq", "model")
+        return ("data", "seq", "model", "pipe")
 
 
 @dataclass

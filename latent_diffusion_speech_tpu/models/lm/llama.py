@@ -204,8 +204,9 @@ class LlamaSystem:
         sem = jnp.concatenate([col(cfg.bos_token_id), sem, col(cfg.eos_token_id)], axis=1)
         return jnp.concatenate([phone, sem], axis=1)
 
-    def loss(self, params, input_ids, labels, attention_mask=None):
-        logits = self.module.apply({"params": params}, input_ids, attention_mask)
+    @staticmethod
+    def _ce(logits, labels):
+        """Shifted next-token CE over valid (!= -100) positions."""
         logits = logits[:, :-1]
         targets = labels[:, 1:]
         valid = targets != -100
@@ -213,6 +214,85 @@ class LlamaSystem:
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
         return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+    def loss(self, params, input_ids, labels, attention_mask=None):
+        logits = self.module.apply({"params": params}, input_ids, attention_mask)
+        return self._ce(logits, labels)
+
+    def loss_pp(
+        self,
+        params,
+        input_ids,
+        labels,
+        mesh,
+        attention_mask=None,
+        *,
+        microbatches: int = 4,
+        batch_axis: Optional[str] = None,
+        remat: bool = False,
+    ):
+        """Pipeline-parallel loss: the homogeneous block stack runs
+        GPipe-microbatched over the mesh 'pipe' axis (parallel/pipeline.py);
+        the embedding, final norm and LM head are small and stay replicated.
+        Numerically identical to `loss` (same ops, same dtypes).
+
+        No reference equivalent — the reference is DP-only (SURVEY.md §2.8);
+        this is the framework's pipeline-parallel training path.
+        """
+        from latent_diffusion_speech_tpu.parallel.pipeline import (
+            pipeline_apply,
+            stack_stage_params,
+        )
+
+        cfg = self.cfg
+        S = dict(mesh.shape).get("pipe", 1)
+        L = cfg.num_hidden_layers
+        if L % max(S, 1) != 0:
+            raise ValueError(f"loss_pp: {L} layers not divisible by pipe={S}")
+        per = L // max(S, 1)
+        blocks = [params[f"block_{i}"] for i in range(L)]
+        # (S, per, ...): stage-major stacking of per-layer params
+        stacked = stack_stage_params(
+            [stack_stage_params(blocks[s * per : (s + 1) * per]) for s in range(S)]
+        )
+
+        B, T = input_ids.shape
+        M = microbatches
+        if B % M != 0:
+            raise ValueError(f"loss_pp: batch {B} not divisible by microbatches {M}")
+        x = nn.Embed(cfg.vocab_size, cfg.hidden_size).apply(
+            {"params": params["embed_tokens"]}, input_ids
+        )
+        if attention_mask is not None:
+            mask = attention_mask[:, None, None, :].astype(bool)
+        else:
+            mask = jnp.ones((B, 1, 1, T), bool)
+        positions = jnp.arange(T)
+        blk = LlamaBlock(cfg, dtype=self.module.dtype)
+
+        def stage_fn(stage_params, act):
+            h, m = act
+
+            def layer(h, p):
+                out, _ = blk.apply({"params": p}, h, positions, mask=m, is_causal=True)
+                return out, None
+
+            h, _ = jax.lax.scan(layer, h, stage_params)
+            return h, m
+
+        act = (
+            x.reshape(M, B // M, T, x.shape[-1]),
+            mask.reshape(M, B // M, 1, 1, T),
+        )
+        h, _ = pipeline_apply(
+            mesh, stage_fn, stacked, act, batch_axis=batch_axis, remat=remat
+        )
+        h = h.reshape(B, T, h.shape[-1])
+        h = RMSNorm(cfg.rms_norm_eps).apply({"params": params["final_ln"]}, h)
+        logits = nn.Dense(cfg.vocab_size, use_bias=False, dtype=self.module.dtype).apply(
+            {"params": params["lm_head"]}, h
+        )
+        return self._ce(logits, labels)
 
     @partial(jax.jit, static_argnames=("self", "sampling", "prompt_len"))
     def _generate(self, params, prompt, prompt_len: int, sampling: SamplingConfig, rng):

@@ -39,6 +39,8 @@ _SLOW_MODULES = {
     "test_whisper_units", "test_vaegan", "test_fast_batch",
     # interpret-mode Pallas UNet parity suites: minutes each on CPU
     "test_pallas_unet", "test_pallas_unet_stream",
+    # shard_map pipeline compiles on 8 virtual devices: ~4 min
+    "test_pipeline",
 }
 
 

@@ -1,0 +1,187 @@
+"""Pipeline parallelism (parallel/pipeline.py): GPipe microbatching over the
+mesh 'pipe' axis.
+
+The reference has no PP (SURVEY.md §2.8) — these tests pin the framework's
+pipeline path: the generic stage op against sequential composition, the
+Llama loss_pp against the plain loss (values AND gradients), and a combined
+dp2 x pp4 layout.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latent_diffusion_speech_tpu.config import ParallelConfig
+from latent_diffusion_speech_tpu.parallel.mesh import build_mesh
+from latent_diffusion_speech_tpu.parallel.pipeline import (
+    pipeline_apply,
+    stack_stage_params,
+)
+
+
+def _tree_allclose(a, b, rtol=2e-5, atol=2e-5):
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=rtol, atol=atol)
+
+
+@pytest.fixture(scope="module")
+def pipe_mesh():
+    return build_mesh(ParallelConfig(data=2, pipe=4), devices=jax.devices()[:8])
+
+
+class TestPipelineApply:
+    def test_matches_sequential(self, pipe_mesh, rng):
+        S, M, mb, D = 4, 6, 2, 16
+        Ws = jnp.asarray(rng.standard_normal((S, D, D)) * 0.3, jnp.float32)
+        bs = jnp.asarray(rng.standard_normal((S, D)) * 0.1, jnp.float32)
+        x = jnp.asarray(rng.standard_normal((M, mb, D)), jnp.float32)
+
+        def stage(p, h):
+            return jnp.tanh(h @ p["w"] + p["b"])
+
+        params = {"w": Ws, "b": bs}
+        out = pipeline_apply(pipe_mesh, stage, params, x)
+
+        ref = x
+        for s in range(S):
+            ref = jnp.tanh(ref @ Ws[s] + bs[s])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    def test_pytree_activation_rides_along(self, pipe_mesh, rng):
+        """Aux leaves (e.g. masks) are injected/shifted with their microbatch."""
+        S, M, mb, D = 4, 5, 2, 8
+        Ws = jnp.asarray(rng.standard_normal((S, D, D)) * 0.3, jnp.float32)
+        x = jnp.asarray(rng.standard_normal((M, mb, D)), jnp.float32)
+        gate = jnp.asarray(rng.standard_normal((M, mb, D)) > 0)  # bool aux
+
+        def stage(p, act):
+            h, g = act
+            return jnp.where(g, jnp.tanh(h @ p), h), g
+
+        h_out, g_out = pipeline_apply(pipe_mesh, stage, Ws, (x, gate))
+        ref = x
+        for s in range(S):
+            ref = jnp.where(gate, jnp.tanh(ref @ Ws[s]), ref)
+        np.testing.assert_allclose(np.asarray(h_out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(g_out), np.asarray(gate))
+
+    def test_gradients_match_sequential(self, pipe_mesh, rng):
+        S, M, mb, D = 4, 4, 2, 8
+        Ws = jnp.asarray(rng.standard_normal((S, D, D)) * 0.3, jnp.float32)
+        x = jnp.asarray(rng.standard_normal((M, mb, D)), jnp.float32)
+
+        def stage(p, h):
+            return jnp.tanh(h @ p)
+
+        def loss_pp(w):
+            return jnp.sum(pipeline_apply(pipe_mesh, stage, w, x) ** 2)
+
+        def loss_seq(w):
+            h = x
+            for s in range(S):
+                h = jnp.tanh(h @ w[s])
+            return jnp.sum(h**2)
+
+        gp = jax.grad(loss_pp)(Ws)
+        gs = jax.grad(loss_seq)(Ws)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gs), rtol=2e-5, atol=1e-6)
+
+    def test_batch_axis_sharding(self, pipe_mesh, rng):
+        """Microbatch dim sharded over 'data' (dp x pp) gives the same values."""
+        S, M, mb, D = 4, 4, 4, 8
+        Ws = jnp.asarray(rng.standard_normal((S, D, D)) * 0.3, jnp.float32)
+        x = jnp.asarray(rng.standard_normal((M, mb, D)), jnp.float32)
+
+        def stage(p, h):
+            return jnp.tanh(h @ p)
+
+        out_rep = pipeline_apply(pipe_mesh, stage, Ws, x)
+        out_dp = pipeline_apply(pipe_mesh, stage, Ws, x, batch_axis="data")
+        np.testing.assert_allclose(np.asarray(out_dp), np.asarray(out_rep), rtol=1e-6)
+
+    def test_remat(self, pipe_mesh, rng):
+        S, M, mb, D = 4, 4, 2, 8
+        Ws = jnp.asarray(rng.standard_normal((S, D, D)) * 0.3, jnp.float32)
+        x = jnp.asarray(rng.standard_normal((M, mb, D)), jnp.float32)
+
+        def stage(p, h):
+            return jnp.tanh(h @ p)
+
+        g1 = jax.grad(lambda w: jnp.sum(pipeline_apply(pipe_mesh, stage, w, x) ** 2))(Ws)
+        g2 = jax.grad(
+            lambda w: jnp.sum(pipeline_apply(pipe_mesh, stage, w, x, remat=True) ** 2)
+        )(Ws)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+    def test_degenerate_single_stage_mesh(self, rng):
+        mesh = build_mesh(ParallelConfig(data=8), devices=jax.devices()[:8])
+        Ws = jnp.asarray(rng.standard_normal((3, 8, 8)) * 0.3, jnp.float32)
+        x = jnp.asarray(rng.standard_normal((2, 2, 8)), jnp.float32)
+
+        def stage(p, h):
+            return jnp.tanh(h @ p)
+
+        out = pipeline_apply(mesh, stage, Ws, x)
+        ref = x
+        for s in range(3):
+            ref = jnp.tanh(ref @ Ws[s])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+class TestLlamaPipeline:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from latent_diffusion_speech_tpu.models.lm.llama import LlamaConfig, LlamaSystem
+
+        cfg = LlamaConfig(
+            hidden_size=32, num_attention_heads=2, num_hidden_layers=4,
+            intermediate_size=48, semantic_kmeans_num=32,
+        )
+        system = LlamaSystem(cfg, seed=0)
+        rng = np.random.default_rng(1)
+        B, T = 8, 24
+        ids = rng.integers(0, cfg.vocab_size, (B, T)).astype(np.int32)
+        labels = ids.copy().astype(np.int32)
+        lens = rng.integers(T // 2, T + 1, B)
+        mask = (np.arange(T)[None, :] < lens[:, None]).astype(np.int32)
+        labels[mask == 0] = -100
+        return system, jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask)
+
+    def test_loss_pp_matches_loss(self, setup, pipe_mesh):
+        system, ids, labels, mask = setup
+        base = system.loss(system.params, ids, labels, attention_mask=mask)
+        pp = system.loss_pp(
+            system.params, ids, labels, pipe_mesh, attention_mask=mask, microbatches=4
+        )
+        np.testing.assert_allclose(float(pp), float(base), rtol=2e-5)
+
+    def test_loss_pp_grads_match(self, setup, pipe_mesh):
+        system, ids, labels, mask = setup
+        g_base = jax.grad(lambda p: system.loss(p, ids, labels, attention_mask=mask))(
+            system.params
+        )
+        g_pp = jax.grad(
+            lambda p: system.loss_pp(
+                p, ids, labels, pipe_mesh, attention_mask=mask, microbatches=4
+            )
+        )(system.params)
+        _tree_allclose(g_pp, g_base, rtol=5e-4, atol=1e-5)
+
+    def test_loss_pp_dp_combo_jitted(self, setup, pipe_mesh):
+        """jit-compiled dp2 x pp4: one program, batch sharded over 'data'."""
+        system, ids, labels, mask = setup
+        base = system.loss(system.params, ids, labels, attention_mask=mask)
+
+        @jax.jit
+        def step(p, ids, labels, mask):
+            return system.loss_pp(
+                p, ids, labels, pipe_mesh, attention_mask=mask,
+                microbatches=2, batch_axis="data",
+            )
+
+        pp = step(system.params, ids, labels, mask)
+        np.testing.assert_allclose(float(pp), float(base), rtol=2e-5)
