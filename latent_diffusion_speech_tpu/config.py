@@ -207,6 +207,7 @@ class ParallelConfig:
     model: int = 1      # tensor-parallel axis size
     seq: int = 1        # sequence/context-parallel axis size
     pipe: int = 1       # pipeline-parallel axis size (GPipe microbatching)
+    pipe_microbatches: int = 4  # GPipe microbatches per step when pipe > 1
     dcn_data: int = 1   # data-parallel replicas across slices (DCN)
 
     def axis_names(self) -> Tuple[str, ...]:

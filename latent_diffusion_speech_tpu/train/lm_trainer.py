@@ -130,7 +130,29 @@ class LMTrainer:
         mesh = self.mesh
         param_shardings = self.param_shardings
 
-        if self.lm_type == "llama":
+        pipe_size = dict(mesh.shape).get("pipe", 1)
+        if pipe_size > 1 and self.lm_type != "llama":
+            raise ValueError(
+                "parallel.pipe > 1 is wired for the llama LM (homogeneous "
+                "decoder trunk); the roformer's 1-layer decoder has nothing "
+                "to pipeline — use data/model axes for it"
+            )
+
+        if self.lm_type == "llama" and pipe_size > 1:
+            # pipeline-parallel training path: the block stack runs
+            # GPipe-microbatched over the mesh 'pipe' axis (parallel/pipeline.py)
+            microbatches = self.cfg.parallel.pipe_microbatches
+            data_size = dict(mesh.shape).get("data", 1)
+            batch_axis = "data" if data_size > 1 else None
+
+            def loss_fn(params, batch, dropout_rng):
+                del dropout_rng  # the flax Llama stack has no dropout
+                return system.loss_pp(
+                    params, batch["input_ids"], batch["labels"], mesh,
+                    attention_mask=batch.get("attention_mask"),
+                    microbatches=microbatches, batch_axis=batch_axis,
+                )
+        elif self.lm_type == "llama":
             def loss_fn(params, batch, dropout_rng):
                 del dropout_rng  # the flax Llama stack has no dropout
                 return system.loss(

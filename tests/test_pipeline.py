@@ -171,6 +171,56 @@ class TestLlamaPipeline:
         )(system.params)
         _tree_allclose(g_pp, g_base, rtol=5e-4, atol=1e-5)
 
+    def test_lm_trainer_pp_matches_dp(self):
+        """LMTrainer with parallel.pipe=4 x data=2 reproduces the dp8 run:
+        identical params after 3 optimizer steps (same seed, same batches)."""
+        from latent_diffusion_speech_tpu.config import Config
+        from latent_diffusion_speech_tpu.train.lm_trainer import LMTrainer
+
+        def make_cfg():
+            cfg = Config()
+            cfg.text2semantic.model.type = "llama"
+            d = cfg.text2semantic.model.decoder
+            d.hidden_size = 32
+            d.num_attention_heads = 2
+            d.num_hidden_layers = 4
+            d.intermediate_size = 48
+            cfg.text2semantic.model.semantic_kmeans_num = 16
+            cfg.text2semantic.train.gradient_accumulation_steps = 1
+            return cfg
+
+        rng = np.random.default_rng(7)
+        trainers = []
+        for par in (ParallelConfig(data=8), ParallelConfig(data=2, pipe=4)):
+            cfg = make_cfg()
+            cfg.parallel = par
+            trainers.append(LMTrainer(cfg, mesh=build_mesh(par, devices=jax.devices()[:8])))
+        dp, pp = trainers
+        V = dp.lm_cfg.vocab_size
+        losses = {id(dp): [], id(pp): []}
+        for step in range(3):
+            ids = rng.integers(0, V, (8, 16)).astype(np.int32)
+            batch = {
+                "input_ids": ids,
+                "labels": ids.copy(),
+                "attention_mask": np.ones_like(ids),
+            }
+            for tr in (dp, pp):
+                m = tr.train_step(tr.device_put_batch(dict(batch)))
+                losses[id(tr)].append(float(m["loss"]))
+        np.testing.assert_allclose(losses[id(pp)], losses[id(dp)], rtol=2e-5)
+        _tree_allclose(pp.system.params, dp.system.params, rtol=5e-4, atol=1e-5)
+
+    def test_lm_trainer_pp_roformer_raises(self):
+        from latent_diffusion_speech_tpu.config import Config
+        from latent_diffusion_speech_tpu.train.lm_trainer import LMTrainer
+
+        cfg = Config()
+        cfg.text2semantic.model.type = "roformer"
+        cfg.parallel = ParallelConfig(data=2, pipe=4)
+        with pytest.raises(ValueError, match="pipe"):
+            LMTrainer(cfg, mesh=build_mesh(cfg.parallel, devices=jax.devices()[:8]))
+
     def test_loss_pp_dp_combo_jitted(self, setup, pipe_mesh):
         """jit-compiled dp2 x pp4: one program, batch sharded over 'data'."""
         system, ids, labels, mask = setup
