@@ -119,8 +119,64 @@ def _oov_to_phones(word: str) -> Tuple[List[str], List[int]]:
     return phones, tones
 
 
+# ---------------------------------------------------------------------------
+# number verbalization (the reference's text_normalize is a literal no-op
+# `todo` — `/root/reference/text/english.py:99-101` — so digits fell through
+# to OOV G2P; verbalizing them is a strict improvement, mirroring what the
+# ZH frontend does with its native cn2an-equivalent)
+# ---------------------------------------------------------------------------
+
+_ONES = [
+    "zero", "one", "two", "three", "four", "five", "six", "seven", "eight",
+    "nine", "ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
+    "sixteen", "seventeen", "eighteen", "nineteen",
+]
+_TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+         "eighty", "ninety"]
+_SCALES = [(10**12, "trillion"), (10**9, "billion"), (10**6, "million"),
+           (10**3, "thousand"), (100, "hundred")]
+
+
+def _int_to_words(n: int) -> str:
+    if n < 0:
+        return "minus " + _int_to_words(-n)
+    if n < 20:
+        return _ONES[n]
+    if n < 100:
+        tens, rest = divmod(n, 10)
+        return _TENS[tens] + (" " + _ONES[rest] if rest else "")
+    for scale, name in _SCALES:
+        if n >= scale:
+            head, rest = divmod(n, scale)
+            out = _int_to_words(head) + " " + name
+            return out + (" " + _int_to_words(rest) if rest else "")
+    return _ONES[0]  # unreachable
+
+
+def _num_to_words(token: str) -> str:
+    """'123' / '-4.25' / '30%' / '1,000' -> spoken English."""
+    token = token.replace(",", "")
+    percent = token.endswith("%")
+    if percent:
+        token = token[:-1]
+    if "." in token:
+        whole, frac = token.split(".", 1)
+        words = _int_to_words(int(whole or 0)) + " point " + " ".join(
+            _ONES[int(d)] for d in frac if d.isdigit()
+        )
+    else:
+        words = _int_to_words(int(token))
+    return words + (" percent" if percent else "")
+
+
+# no leading minus: "2020-2021"-style ranges must not verbalize as "minus"
+_NUM_RE = re.compile(r"\d[\d,]*(?:\.\d+)?%?")
+
+
 def text_normalize(text: str) -> str:
-    return text
+    """Verbalize numbers (incl. decimals, thousands separators, percent);
+    otherwise pass text through like the reference."""
+    return _NUM_RE.sub(lambda m: " " + _num_to_words(m.group(0)) + " ", text)
 
 
 def g2p(text: str) -> Tuple[List[str], List[int], List[int]]:

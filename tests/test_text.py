@@ -128,6 +128,25 @@ class TestEnglish:
         assert english.refine_ph("OW1") == ("ow", 2)
         assert english.refine_ph("K") == ("k", 0)
 
+    def test_number_verbalization(self):
+        # the reference's EN text_normalize is a no-op todo
+        # (/root/reference/text/english.py:99-101); here numbers verbalize
+        n = english.text_normalize
+        assert n("42 things").split()[:2] == ["forty", "two"]
+        assert "one hundred twenty three point five percent" in n("123.5%")
+        assert "one thousand" in n("1,000")
+        # ranges must not become "minus"
+        assert "minus" not in n("2020-2021")
+        assert english._int_to_words(-7) == "minus seven"
+        assert english._int_to_words(2_000_001) == "two million one"
+
+    @pytest.mark.skipif(not HAS_REFERENCE, reason="needs cmudict.rep")
+    def test_numbers_reach_phones(self):
+        phones, tones, _ = english.g2p(english.text_normalize("propose 1 vocoder"))
+        assert all(p in symbols for p in phones)
+        # 'one' -> W AH1 N appears between the words
+        assert ["w", "ah", "n"] == [p for p in phones][6:9]
+
     def test_letter_to_sound_rules(self):
         from latent_diffusion_speech_tpu.text.letter_to_sound import lts
 
