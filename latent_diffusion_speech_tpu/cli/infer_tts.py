@@ -52,8 +52,13 @@ def build_pipeline(cfg, diffusion_ckpt=None, lm_ckpt=None, dtype=None):
         weight_quant=getattr(cfg.common.infer, "weight_quant", "") or None,
     )
     if diffusion_ckpt:
-        _, params, _ = load_checkpoint(Path(diffusion_ckpt).parent, diffusion.params)
-        diffusion.params = params
+        from latent_diffusion_speech_tpu.train.checkpoint import load_checkpoint_extra
+
+        expdir = Path(diffusion_ckpt).parent
+        _, params, _ = load_checkpoint(expdir, diffusion.params)
+        # serve from the EMA tree when the trainer saved one (ema_decay > 0)
+        ema = load_checkpoint_extra(expdir, "ema", params)
+        diffusion.params = ema if ema is not None else params
 
     lm = get_language_model(cfg, dtype=dtype)
     if lm_ckpt:

@@ -22,6 +22,7 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "load_checkpoint_meta",
+    "load_checkpoint_extra",
     "latest_checkpoint_step",
 ]
 
@@ -35,9 +36,12 @@ def save_checkpoint(
     opt_state: Optional[Any] = None,
     keep: int = 4,
     meta: Optional[dict] = None,
+    extra: Optional[dict] = None,
 ) -> Path:
     """`meta` (JSON-serializable — e.g. epoch / batch-in-epoch position for
-    deterministic resume) is written as a `model_<step>.meta.json` sidecar."""
+    deterministic resume) is written as a `model_<step>.meta.json` sidecar.
+    `extra` ({name: pytree}, e.g. {"ema": ema_params}) is written as
+    `model_<step>.<name>.ckpt` sidecars, retained/deleted with the parent."""
     expdir = Path(expdir)
     expdir.mkdir(parents=True, exist_ok=True)
     payload = {"step": step, "params": params}
@@ -47,6 +51,8 @@ def save_checkpoint(
     path.write_bytes(serialization.to_bytes(payload))
     if meta is not None:
         path.with_suffix(".meta.json").write_text(json.dumps(meta))
+    for name, tree in (extra or {}).items():
+        path.with_suffix(f".{name}.ckpt").write_bytes(serialization.to_bytes(tree))
 
     if keep and keep > 0:
         ckpts = sorted(
@@ -57,6 +63,8 @@ def save_checkpoint(
         for _, old in ckpts[:-keep]:
             old.unlink(missing_ok=True)
             old.with_suffix(".meta.json").unlink(missing_ok=True)
+            for sidecar in expdir.glob(f"{old.stem}.*.ckpt"):
+                sidecar.unlink(missing_ok=True)
     return path
 
 
@@ -74,6 +82,22 @@ def load_checkpoint_meta(expdir: str | Path, step: Optional[int] = None) -> dict
         return json.loads(path.read_text())
     except (json.JSONDecodeError, OSError):
         return {}
+
+
+def load_checkpoint_extra(
+    expdir: str | Path, name: str, template: Any, step: Optional[int] = None
+) -> Optional[Any]:
+    """Load a `model_<step>.<name>.ckpt` sidecar (default: latest step), or
+    None when absent (e.g. a run saved before the sidecar existed)."""
+    expdir = Path(expdir)
+    if step is None:
+        step = latest_checkpoint_step(expdir)
+        if step is None:
+            return None
+    path = expdir / f"model_{step}.{name}.ckpt"
+    if not path.exists():
+        return None
+    return serialization.from_bytes(template, path.read_bytes())
 
 
 def latest_checkpoint_step(expdir: str | Path) -> Optional[int]:

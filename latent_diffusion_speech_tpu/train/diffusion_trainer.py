@@ -28,6 +28,7 @@ from latent_diffusion_speech_tpu.parallel.mesh import build_mesh
 from latent_diffusion_speech_tpu.train.checkpoint import (
     latest_checkpoint_step,
     load_checkpoint,
+    load_checkpoint_extra,
     load_checkpoint_meta,
     save_checkpoint,
 )
@@ -105,7 +106,12 @@ class DiffusionTrainer:
         # optional EMA of params for eval/serve (no reference equivalent;
         # standard practice for diffusion models)
         self.ema_decay = getattr(tcfg, "ema_decay", 0.0) or 0.0
-        self.ema_params = self.system.params if self.ema_decay > 0 else None
+        # deep copy: train_step donates params (donate_argnums), so the EMA
+        # tree must not alias the live buffers
+        self.ema_params = (
+            jax.tree_util.tree_map(jnp.copy, self.system.params)
+            if self.ema_decay > 0 else None
+        )
         self._train_step = self._build_train_step()
         if self.ema_decay > 0:
             decay = self.ema_decay
@@ -177,6 +183,13 @@ class DiffusionTrainer:
 
         return shard_batch(self.mesh, batch)
 
+    @property
+    def eval_params(self):
+        """Params used for sampler evaluation/serve: the EMA tree when
+        ema_decay > 0, else the live training params.  Validation *loss*
+        stays on the live params so it is comparable to the train loss."""
+        return self.ema_params if self.ema_params is not None else self.system.params
+
     def train_step(self, batch, rng) -> Dict[str, float]:
         params, opt_state, loss, gnorm, self.vq_state = self._train_step(
             self.system.params, self.opt_state, batch, rng, self.vq_state
@@ -199,7 +212,8 @@ class DiffusionTrainer:
         elif self.quantizer is not None:
             units = self.quantizer(units)
         return self.system.infer(
-            units, rng, spk_id=batch["spk_id"], method=method, infer_speedup=speedup
+            units, rng, spk_id=batch["spk_id"], method=method,
+            infer_speedup=speedup, params=self.eval_params,
         )
 
     def validate_full(self, val_loader, rng, logger=None, vocoder=None, max_batches: int = 2):
@@ -255,6 +269,8 @@ class DiffusionTrainer:
             # data-position sidecar: a resumed run replays the exact batch
             # stream (epoch-keyed shuffle + mid-epoch skip; reference can't)
             meta={"epoch": self._epoch, "batch_in_epoch": self._batch_in_epoch},
+            # EMA tree rides as a model_<step>.ema.ckpt sidecar
+            extra={"ema": self.ema_params} if self.ema_params is not None else None,
         )
         if self.vq_state is not None:
             # learned-VQ codebook saved beside the model (reference keeps a
@@ -280,6 +296,13 @@ class DiffusionTrainer:
         meta = load_checkpoint_meta(tcfg.expdir)
         self._epoch = int(meta.get("epoch", 0))
         self._batch_in_epoch = int(meta.get("batch_in_epoch", 0))
+        if self.ema_decay > 0:
+            ema = load_checkpoint_extra(tcfg.expdir, "ema", self.system.params)
+            # older checkpoints have no EMA sidecar: restart EMA from the
+            # resumed params (copied — train_step donates the live buffers)
+            if ema is None:
+                ema = jax.tree_util.tree_map(jnp.copy, self.system.params)
+            self.ema_params = ema
         return True
 
     def _step_mfu(self, batch, rng, steps_per_sec) -> Optional[float]:

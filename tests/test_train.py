@@ -187,6 +187,45 @@ class TestDiffusionTrainer:
             np.asarray(jax.tree_util.tree_leaves(trainer.system.params)[0]),
         )
 
+    def test_ema_tracks_saves_and_resumes(self, pipeline_dir, tmp_path):
+        """ema_decay > 0: EMA tree tracks training, is used for sampler eval,
+        persists as a model_<step>.ema.ckpt sidecar, and resumes."""
+        cfg = _tiny_config(tmp_path)
+        cfg.diffusion.train.ema_decay = 0.9
+        trainer = DiffusionTrainer(cfg, model_cfg=TINY_MODEL)
+        ds = DiffusionDataset(pipeline_dir, waveform_sec=1.0, hop_size=2, sample_rate=100, n_spk=4)
+        batch = trainer.device_put_batch(ds.batch(range(4)))
+        for _ in range(4):
+            trainer.train_step(batch, jax.random.PRNGKey(3))
+        diff = sum(
+            float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(trainer.system.params),
+                jax.tree_util.tree_leaves(trainer.ema_params),
+            )
+        )
+        assert diff > 0  # EMA is a lagging copy, not an alias
+        assert trainer.eval_params is trainer.ema_params
+
+        trainer.save()
+        step = trainer.step
+        assert (tmp_path / "exp_diff" / f"model_{step}.ema.ckpt").exists()
+        t2 = DiffusionTrainer(cfg, model_cfg=TINY_MODEL)
+        assert t2.resume()
+        for a, b in zip(
+            jax.tree_util.tree_leaves(t2.ema_params),
+            jax.tree_util.tree_leaves(trainer.ema_params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_ema_sidecar_retention(self, tmp_path):
+        params = {"w": jnp.ones((2,))}
+        for step in (1, 2, 3):
+            save_checkpoint(tmp_path, step, params, keep=2, extra={"ema": params})
+        assert not (tmp_path / "model_1.ckpt").exists()
+        assert not (tmp_path / "model_1.ema.ckpt").exists()
+        assert (tmp_path / "model_3.ema.ckpt").exists()
+
     def test_batch_sharded_over_8_devices(self, pipeline_dir, tmp_path):
         cfg = _tiny_config(tmp_path)
         trainer = DiffusionTrainer(cfg, model_cfg=TINY_MODEL)
