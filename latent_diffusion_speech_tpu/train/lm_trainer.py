@@ -314,14 +314,46 @@ class LMTrainer:
         self._batch_in_epoch = int(meta.get("batch_in_epoch", 0))
         return True
 
+    def _step_mfu(self, batch, steps_per_sec) -> Optional[float]:
+        """Analytic MFU from XLA cost analysis, once per batch shape (same
+        approach as DiffusionTrainer._step_mfu)."""
+        from latent_diffusion_speech_tpu.utils.flops import device_peak_flops
+
+        shape_key = tuple(batch["input_ids"].shape) if "input_ids" in batch else tuple(
+            batch["semantic"].shape
+        )
+        if not hasattr(self, "_step_flops"):
+            self._step_flops = {}
+            self._peak_flops = device_peak_flops(jax.devices()[0])
+        if shape_key not in self._step_flops:
+            flops = None
+            try:
+                rng = jax.random.PRNGKey(0)
+                ca = self._train_step.lower(
+                    self.system.params, self.opt_state, batch, rng
+                ).compile().cost_analysis()
+                if isinstance(ca, list):
+                    ca = ca[0]
+                flops = float(ca["flops"])
+            except Exception:
+                pass
+            self._step_flops[shape_key] = flops
+        flops = self._step_flops[shape_key]
+        if flops is None or not self._peak_flops:
+            return None
+        return flops * steps_per_sec / self._peak_flops
+
     def train(self, loader, val_loader=None, max_steps: Optional[int] = None, logger=None,
               tts_pipeline=None, shutdown=None):
         """tts_pipeline: optional TTSPipeline with the frozen diffusion/vocoder
         (ref 21_train_lm.py:30-34) — enables validation audio synthesis.
         SIGTERM/SIGINT checkpoints once and returns (train/signals.py)."""
+        import time
+
         from latent_diffusion_speech_tpu.train.signals import GracefulShutdown
 
         tcfg = self.cfg.text2semantic.train
+        last_t = time.time()
         with (shutdown or GracefulShutdown()) as stop:
             start_epoch = self._epoch
             for epoch in range(start_epoch, tcfg.epochs):
@@ -337,10 +369,24 @@ class LMTrainer:
                     if stop.requested:
                         self.save()
                         return
-                    metrics = self.train_step(self.device_put_batch(batch))
+                    device_batch = self.device_put_batch(batch)
+                    metrics = self.train_step(device_batch)
                     self._batch_in_epoch += 1
                     if logger and self.step % tcfg.interval_log == 0:
-                        logger.log(self.step, {"train/loss": float(metrics["loss"])})
+                        dt = time.time() - last_t
+                        last_t = time.time()
+                        steps_per_sec = tcfg.interval_log / max(dt, 1e-9)
+                        first = next(iter(device_batch.values()))
+                        log = {
+                            "train/loss": float(metrics["loss"]),
+                            "train/grad_norm": float(metrics["grad_norm"]),
+                            "train/steps_per_sec": steps_per_sec,
+                            "train/samples_per_sec": steps_per_sec * int(first.shape[0]),
+                        }
+                        mfu = self._step_mfu(device_batch, steps_per_sec)
+                        if mfu is not None:
+                            log["train/mfu"] = mfu
+                        logger.log(self.step, log)
                     if self.step % tcfg.interval_val == 0:
                         if val_loader is not None and logger:
                             for vb in val_loader:
