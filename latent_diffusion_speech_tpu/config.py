@@ -171,6 +171,12 @@ class LMModelConfig:
     mode: str = "phone"              # phone | text
     semantic_kmeans_num: int = 4096
     type: str = "roformer"           # roformer | llama
+    # MoE knobs (llama only; 0 = dense FFN).  No reference equivalent — the
+    # reference has no MoE models; this feeds the mesh 'expert' axis.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
     decoder: TransformerConfig = field(
         default_factory=lambda: TransformerConfig(num_hidden_layers=1)
     )
@@ -208,10 +214,11 @@ class ParallelConfig:
     seq: int = 1        # sequence/context-parallel axis size
     pipe: int = 1       # pipeline-parallel axis size (GPipe microbatching)
     pipe_microbatches: int = 4  # GPipe microbatches per step when pipe > 1
+    expert: int = 1     # expert-parallel axis size (MoE expert sharding)
     dcn_data: int = 1   # data-parallel replicas across slices (DCN)
 
     def axis_names(self) -> Tuple[str, ...]:
-        return ("data", "seq", "model", "pipe")
+        return ("data", "seq", "model", "pipe", "expert")
 
 
 @dataclass

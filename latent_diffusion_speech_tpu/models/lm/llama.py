@@ -39,6 +39,12 @@ class LlamaConfig:
     mode: str = "phone"
     semantic_kmeans_num: int = 4096
     text_vocab_size: Optional[int] = None
+    # MoE FFN (0 = dense).  No reference equivalent; routed SwiGLU experts
+    # sharded over the mesh 'expert' axis (ops/moe.py).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
 
     @property
     def token_shift(self) -> int:
@@ -97,6 +103,7 @@ class RMSNorm(nn.Module):
 class LlamaBlock(nn.Module):
     cfg: LlamaConfig
     dtype: jnp.dtype = jnp.float32
+    mesh: Optional[object] = None  # jax.sharding.Mesh for MoE expert sharding
 
     @nn.compact
     def __call__(self, x, positions, mask=None, is_causal=True, cache=None, cache_index=None):
@@ -125,21 +132,37 @@ class LlamaBlock(nn.Module):
         x = x + nn.Dense(C, use_bias=False, dtype=self.dtype, name="o_proj")(attn)
 
         h = RMSNorm(cfg.rms_norm_eps, name="post_ln")(x)
-        gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=self.dtype, name="gate_proj")(h)
-        up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=self.dtype, name="up_proj")(h)
-        x = x + nn.Dense(C, use_bias=False, dtype=self.dtype, name="down_proj")(nn.silu(gate) * up)
+        if cfg.moe_experts > 0:
+            from latent_diffusion_speech_tpu.ops.moe import MoEMLP
+
+            y, _ = MoEMLP(
+                num_experts=cfg.moe_experts,
+                intermediate_size=cfg.intermediate_size,
+                top_k=cfg.moe_top_k,
+                capacity_factor=cfg.moe_capacity_factor,
+                dtype=self.dtype,
+                mesh=self.mesh,
+                name="moe",
+            )(h)
+            x = x + y
+        else:
+            gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=self.dtype, name="gate_proj")(h)
+            up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=self.dtype, name="up_proj")(h)
+            x = x + nn.Dense(C, use_bias=False, dtype=self.dtype, name="down_proj")(nn.silu(gate) * up)
         return x, new_cache
 
 
 class Llama(nn.Module):
     cfg: LlamaConfig
     dtype: jnp.dtype = jnp.float32
+    mesh: Optional[object] = None  # jax.sharding.Mesh for MoE expert sharding
 
     def setup(self):
         cfg = self.cfg
         self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="embed_tokens")
         self.blocks = [
-            LlamaBlock(cfg, dtype=self.dtype, name=f"block_{i}") for i in range(cfg.num_hidden_layers)
+            LlamaBlock(cfg, dtype=self.dtype, mesh=self.mesh, name=f"block_{i}")
+            for i in range(cfg.num_hidden_layers)
         ]
         self.final_ln = RMSNorm(cfg.rms_norm_eps, name="final_ln")
         self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False, dtype=self.dtype, name="lm_head")
@@ -177,9 +200,9 @@ class Llama(nn.Module):
 
 class LlamaSystem:
     def __init__(self, cfg: LlamaConfig, params=None, dtype=jnp.float32, seed: int = 0,
-                 codebook: Optional[np.ndarray] = None):
+                 codebook: Optional[np.ndarray] = None, mesh=None):
         self.cfg = cfg
-        self.module = Llama(cfg, dtype=dtype)
+        self.module = Llama(cfg, dtype=dtype, mesh=mesh)
         if params is None:
             probe = jnp.zeros((1, 4), jnp.int32)
             # jitted init: one compiled program instead of per-param dispatch
@@ -216,6 +239,14 @@ class LlamaSystem:
         return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
 
     def loss(self, params, input_ids, labels, attention_mask=None):
+        if self.cfg.moe_experts > 0:
+            # surface the per-layer Switch aux losses sown by MoEMLP
+            logits, muts = self.module.apply(
+                {"params": params}, input_ids, attention_mask, mutable=["moe_losses"]
+            )
+            aux_leaves = jax.tree_util.tree_leaves(muts.get("moe_losses", {}))
+            aux = sum(jnp.mean(jnp.asarray(a)) for a in aux_leaves) / max(len(aux_leaves), 1)
+            return self._ce(logits, labels) + self.cfg.moe_aux_weight * aux
         logits = self.module.apply({"params": params}, input_ids, attention_mask)
         return self._ce(logits, labels)
 
@@ -245,6 +276,12 @@ class LlamaSystem:
         )
 
         cfg = self.cfg
+        if cfg.moe_experts > 0:
+            raise ValueError(
+                "loss_pp: MoE + pipeline parallelism is not wired (the sown "
+                "aux losses don't cross pipeline stages); combine expert "
+                "parallelism with data/model axes instead"
+            )
         S = dict(mesh.shape).get("pipe", 1)
         L = cfg.num_hidden_layers
         if L % max(S, 1) != 0:

@@ -15,8 +15,10 @@ from latent_diffusion_speech_tpu.models.lm.roformer import RoformerSystem
 __all__ = ["get_language_model"]
 
 
-def get_language_model(cfg: Config, codebook: Optional[np.ndarray] = None, dtype=None, seed: int = 0):
-    """Build the configured text->semantic LM system."""
+def get_language_model(cfg: Config, codebook: Optional[np.ndarray] = None, dtype=None,
+                       seed: int = 0, mesh=None):
+    """Build the configured text->semantic LM system.  `mesh` (optional) is
+    used by the llama MoE path to shard expert banks over the 'expert' axis."""
     import jax.numpy as jnp
 
     from latent_diffusion_speech_tpu.train.lm_trainer import llama_config_from, roformer_config_from
@@ -26,5 +28,6 @@ def get_language_model(cfg: Config, codebook: Optional[np.ndarray] = None, dtype
     if mtype == "roformer":
         return RoformerSystem(roformer_config_from(cfg), dtype=dtype, seed=seed, codebook=codebook)
     if mtype == "llama":
-        return LlamaSystem(llama_config_from(cfg), dtype=dtype, seed=seed, codebook=codebook)
+        return LlamaSystem(llama_config_from(cfg), dtype=dtype, seed=seed, codebook=codebook,
+                           mesh=mesh)
     raise ValueError(f"[x] Unknown language model type: {mtype}")

@@ -2,8 +2,8 @@
 
 The reference's only parallelism is DDP data-parallel via HF accelerate
 (`20_train_diffusion.py:22`, `tools/saver.py:97-98`).  Here a single
-`jax.sharding.Mesh` with axes ("data", "seq", "model", "pipe") carries data-,
-sequence-, tensor- and pipeline-parallelism; gradient averaging is an XLA
+`jax.sharding.Mesh` with axes ("data", "seq", "model", "pipe", "expert") carries data-,
+sequence-, tensor-, pipeline- and expert-parallelism; gradient averaging is an XLA
 `psum` inserted by `jit` from sharding annotations, not a backward hook.
 
 ICI vs DCN: within a slice, axes ride ICI; the optional `dcn_data` factor in
@@ -35,39 +35,43 @@ AXIS_DATA = "data"
 AXIS_SEQ = "seq"
 AXIS_MODEL = "model"
 AXIS_PIPE = "pipe"
-AXES = (AXIS_DATA, AXIS_SEQ, AXIS_MODEL, AXIS_PIPE)
+AXIS_EXPERT = "expert"
+AXES = (AXIS_DATA, AXIS_SEQ, AXIS_MODEL, AXIS_PIPE, AXIS_EXPERT)
 
 
 @dataclasses.dataclass(frozen=True)
 class MeshSpec:
-    """Resolved mesh geometry: (data, seq, model, pipe) axis sizes."""
+    """Resolved mesh geometry: (data, seq, model, pipe, expert) axis sizes."""
 
     data: int
     seq: int
     model: int
     pipe: int = 1
+    expert: int = 1
 
     @property
     def total(self) -> int:
-        return self.data * self.seq * self.model * self.pipe
+        return self.data * self.seq * self.model * self.pipe * self.expert
 
 
 def _resolve_spec(cfg: ParallelConfig, n_devices: int) -> MeshSpec:
     model = max(1, cfg.model)
     seq = max(1, cfg.seq)
     pipe = max(1, getattr(cfg, "pipe", 1))
-    if n_devices % (model * seq * pipe) != 0:
+    expert = max(1, getattr(cfg, "expert", 1))
+    denom = model * seq * pipe * expert
+    if n_devices % denom != 0:
         raise ValueError(
             f"mesh: {n_devices} devices not divisible by "
-            f"model({model})*seq({seq})*pipe({pipe})"
+            f"model({model})*seq({seq})*pipe({pipe})*expert({expert})"
         )
-    data = cfg.data if cfg.data > 0 else n_devices // (model * seq * pipe)
-    if data * seq * model * pipe != n_devices:
+    data = cfg.data if cfg.data > 0 else n_devices // denom
+    if data * denom != n_devices:
         raise ValueError(
-            f"mesh: data({data})*seq({seq})*model({model})*pipe({pipe}) "
-            f"!= devices({n_devices})"
+            f"mesh: data({data})*seq({seq})*model({model})*pipe({pipe})"
+            f"*expert({expert}) != devices({n_devices})"
         )
-    return MeshSpec(data=data, seq=seq, model=model, pipe=pipe)
+    return MeshSpec(data=data, seq=seq, model=model, pipe=pipe, expert=expert)
 
 
 def build_mesh(
@@ -86,14 +90,16 @@ def build_mesh(
         per_slice = n // cfg.dcn_data
         inner = _resolve_spec(cfg, per_slice)
         dev_mesh = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(inner.data, inner.seq, inner.model, inner.pipe),
-            dcn_mesh_shape=(cfg.dcn_data, 1, 1, 1),
+            mesh_shape=(inner.data, inner.seq, inner.model, inner.pipe, inner.expert),
+            dcn_mesh_shape=(cfg.dcn_data, 1, 1, 1, 1),
             devices=devices,
         )
         return Mesh(dev_mesh, AXES)
 
     spec = _resolve_spec(cfg, n)
-    dev_mesh = np.asarray(devices).reshape(spec.data, spec.seq, spec.model, spec.pipe)
+    dev_mesh = np.asarray(devices).reshape(
+        spec.data, spec.seq, spec.model, spec.pipe, spec.expert
+    )
     return Mesh(dev_mesh, AXES)
 
 

@@ -36,6 +36,11 @@ DEFAULT_TP_RULES: List[Tuple[str, P]] = [
     (r"(conv1|conv2|conv_in)/.*kernel$", P(None, None, "model")),
     # biases of column-parallel layers follow their outputs
     (r"(query|key|value|to_q|to_k|to_v|ff_in|ff_proj|mlp_0)/bias$", P("model")),
+    # MoE expert banks (E, C, F)/(E, F, C): expert dim over the 'expert'
+    # axis, hidden dim over 'model' (expert-parallel composes with TP);
+    # the router gate stays replicated
+    (r"moe/w_(gate|up)$", P("expert", None, "model")),
+    (r"moe/w_down$", P("expert", "model", None)),
 ]
 
 
@@ -53,22 +58,27 @@ def _path_str(path) -> str:
 
 def infer_param_shardings(params: Any, mesh: Mesh, rules: ShardingRules = DEFAULT_TP_RULES) -> Any:
     """Build a NamedSharding pytree matching `params`; unmatched -> replicated.
-    A rule only applies when the spec'd axes divide the param dims."""
-    model_size = dict(mesh.shape).get("model", 1)
+    A rule only applies when the spec'd axes divide the param dims.  Mesh axes
+    of size 1 are dropped from matched specs, so the same rule set serves
+    tp-only, ep-only, and combined meshes."""
+    mesh_shape = dict(mesh.shape)
 
     def choose(path, leaf):
         ps = _path_str(path)
-        if model_size > 1:
-            for pattern, spec in rules:
-                if re.search(pattern, ps) and len(spec) <= leaf.ndim:
-                    ok = True
-                    for dim, axis in enumerate(spec):
-                        if axis == "model" and leaf.shape[dim] % model_size != 0:
-                            ok = False
-                            break
-                    if ok:
-                        full = P(*(list(spec) + [None] * (leaf.ndim - len(spec))))
-                        return NamedSharding(mesh, full)
+        for pattern, spec in rules:
+            if not (re.search(pattern, ps) and len(spec) <= leaf.ndim):
+                continue
+            # drop axes the mesh doesn't actually split over
+            eff = [a if (a is None or mesh_shape.get(a, 1) > 1) else None for a in spec]
+            if all(a is None for a in eff):
+                continue
+            if any(
+                a is not None and leaf.shape[dim] % mesh_shape[a] != 0
+                for dim, a in enumerate(eff)
+            ):
+                continue
+            full = P(*(eff + [None] * (leaf.ndim - len(eff))))
+            return NamedSharding(mesh, full)
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(choose, params)

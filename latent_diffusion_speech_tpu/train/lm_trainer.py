@@ -78,6 +78,10 @@ def llama_config_from(cfg: Config) -> LlamaConfig:
         intermediate_size=tc.intermediate_size,
         mode="phone",
         semantic_kmeans_num=m.semantic_kmeans_num,
+        moe_experts=m.moe_experts,
+        moe_top_k=m.moe_top_k,
+        moe_capacity_factor=m.moe_capacity_factor,
+        moe_aux_weight=m.moe_aux_weight,
     )
 
 
@@ -94,7 +98,8 @@ class LMTrainer:
         self.lm_type = cfg.text2semantic.model.type
         if self.lm_type == "llama":
             self.lm_cfg = lm_cfg or llama_config_from(cfg)
-            self.system = LlamaSystem(self.lm_cfg, dtype=dtype, seed=tcfg.seed, codebook=codebook)
+            self.system = LlamaSystem(self.lm_cfg, dtype=dtype, seed=tcfg.seed, codebook=codebook,
+                                      mesh=self.mesh)
         elif self.lm_type == "roformer":
             self.lm_cfg = lm_cfg or roformer_config_from(cfg)
             self.system = RoformerSystem(self.lm_cfg, dtype=dtype, seed=tcfg.seed, codebook=codebook)

@@ -68,11 +68,11 @@ class TestMesh:
 
     def test_default_mesh_all_data(self):
         mesh = build_mesh()
-        assert mesh.shape == {"data": 8, "seq": 1, "model": 1, "pipe": 1}
+        assert mesh.shape == {"data": 8, "seq": 1, "model": 1, "pipe": 1, "expert": 1}
 
     def test_model_parallel_split(self):
         mesh = build_mesh(ParallelConfig(model=2))
-        assert mesh.shape == {"data": 4, "seq": 1, "model": 2, "pipe": 1}
+        assert mesh.shape == {"data": 4, "seq": 1, "model": 2, "pipe": 1, "expert": 1}
 
     def test_invalid_split_raises(self):
         with pytest.raises(ValueError):
