@@ -16,6 +16,12 @@ import jax  # noqa: E402
 # before conftest can set env vars — override via the config API as well.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite compiles hundreds of programs
+# (multi-device trainer steps, whole-serve chains); cache them across runs
+# and sessions so re-runs spend time on the tests, not on XLA.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
