@@ -450,16 +450,21 @@ class RoformerSystem:
         return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
 
     def _decode_fits_vmem(self, batch: int, max_new_tokens: int, enc_len: int) -> bool:
-        """Empirical VMEM capacity bound for the whole-decode Pallas kernel.
+        """VMEM capacity gate for the whole-decode Pallas kernel, computed
+        from actual byte accounting of every operand/scratch/output the
+        kernel allocates (see `ops.pallas.ar_decode.decode_vmem_bytes`) vs
+        the v5e scoped-VMEM budget — so a config change (wider decoder,
+        longer generation) is rejected by arithmetic, not by a heuristic
+        fitted to one geometry."""
+        from latent_diffusion_speech_tpu.ops.pallas.ar_decode import (
+            DECODE_VMEM_BUDGET_BYTES,
+            decode_vmem_bytes,
+        )
 
-        The scaling operands are the f32 self-attn KV caches (nl * B * N * C)
-        and the cross-attention K/V (nl * B * L * C each); measured on v5e
-        (16 MB scoped VMEM): flagship B=8 x 430 tokens x L=48 fits, B=16
-        wants 27 MB.  The threshold is anchored to that measurement."""
-        dcfg = self.cfg.decoder
-        nr = -(-max_new_tokens // 8) * 8
-        score = dcfg.num_hidden_layers * batch * (nr + 2 * enc_len) * dcfg.hidden_size
-        return score <= 8 * (440 + 2 * 64) * 256
+        total = decode_vmem_bytes(
+            self.cfg, batch, max_new_tokens, enc_len, dtype=self.module.dtype
+        )["total"]
+        return total <= DECODE_VMEM_BUDGET_BYTES
 
     @partial(jax.jit, static_argnames=("self", "sampling", "impl"))
     def _generate(self, params, phone, tone, spk_id, enc_mask, sampling: SamplingConfig,

@@ -41,9 +41,61 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["roformer_decode_pallas"]
+__all__ = ["roformer_decode_pallas", "decode_vmem_bytes", "DECODE_VMEM_BUDGET_BYTES"]
 
 NEG = -1e30
+
+# v5e scoped VMEM is ~16 MiB/core; reserve 1 MiB for Mosaic temporaries
+# (vector spills, the iota/selector constants the kernel materializes).
+DECODE_VMEM_BUDGET_BYTES = 15 * 2**20
+
+
+def decode_vmem_bytes(cfg, batch: int, max_new_tokens: int, enc_len: int, dtype=jnp.float32) -> dict:
+    """Exact VMEM byte accounting for the whole-decode kernel.
+
+    Mirrors the operand construction in `roformer_decode_pallas` (and the
+    scratch/output shapes of its `pallas_call`) term by term, so the capacity
+    decision is arithmetic over the same shapes the kernel allocates — not an
+    empirical score.  Returns a breakdown dict with a ``total`` key (bytes).
+
+    Measured anchor (v5e, flagship C=256/H=8/nl=1, bf16): B=8 x 430 tokens x
+    L=48 totals ~14.5 MB and compiles; B=16 totals ~22 MB and is rejected by
+    Mosaic ("scoped allocation exceeds").  The 15 MiB budget sits between.
+    """
+    dcfg = cfg.decoder
+    C = dcfg.hidden_size
+    H = dcfg.num_attention_heads
+    I = dcfg.intermediate_size
+    V = cfg.semantic_vocab_size
+    nl = dcfg.num_hidden_layers
+    B, L, N = batch, enc_len, max_new_tokens
+    Vp = _round_up(V, 128)
+    Vr = _round_up(V, _align_of(dtype))
+    Nr = _round_up(N, 8)
+    w = jnp.dtype(dtype).itemsize  # model-dtype width
+    f = 4                          # f32 width
+
+    sizes = {
+        "emb_eff": Vr * C * w,
+        "embT": C * Vp * w,
+        "head_bias": Vp * f,
+        "rotary_tables": 2 * Nr * C * f,            # sin_full + cos_full
+        "rot_matrix": C * C * w,                    # R
+        "segment_matmuls": 2 * C * H * w,           # seg + segT
+        "emb_ln": 2 * C * f,
+        "head_transform": (C * C + C) * w,          # htw + htb
+        "head_ln": 2 * C * f,
+        # per-layer stacks: qkv+out + cross q/out = 6 square kernels, 6 biases
+        "layer_attn": nl * (6 * C * C + 6 * C) * w,
+        "layer_ffn": nl * (C * I + I + I * C + C) * w,
+        "layer_lns": nl * 3 * 2 * C * f,            # self/cross/ff LN
+        "cross_kv": 2 * nl * B * L * C * w,         # ck + cv
+        "outputs": (Nr * B + B) * 4,                # tokens + lengths (int32)
+        "kv_cache_scratch": 2 * nl * B * Nr * C * f,
+        "repetition_scratch": B * Vp * f,
+    }
+    sizes["total"] = sum(sizes.values())
+    return sizes
 
 
 def _round_up(n: int, m: int) -> int:

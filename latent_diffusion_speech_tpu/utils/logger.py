@@ -8,6 +8,7 @@ config snapshot beside checkpoints, rank-0 gating.  JSONL is the primary sink
 from __future__ import annotations
 
 import json
+import logging
 import time
 from pathlib import Path
 from typing import Dict, Optional
@@ -15,6 +16,8 @@ from typing import Dict, Optional
 import jax
 
 __all__ = ["MetricsLogger"]
+
+_log = logging.getLogger(__name__)
 
 
 class MetricsLogger:
@@ -35,9 +38,11 @@ class MetricsLogger:
                 from torch.utils.tensorboard import SummaryWriter
 
                 self._tb = SummaryWriter(str(self.expdir / "logs"))
-            except Exception:
+            except Exception as e:
+                _log.warning("TensorBoard requested but unavailable (%s); scalars go to JSONL only", e)
                 self._tb = None
         self._t0 = time.time()
+        self._figure_error_logged = False
 
     def log(self, step: int, metrics: Dict[str, float]) -> None:
         if not self.is_main:
@@ -79,7 +84,12 @@ class MetricsLogger:
             self._tb.add_figure(tag, fig, step)
             plt.close(fig)
         except Exception:
-            pass
+            # Figures are best-effort (training must not die on a matplotlib
+            # regression), but a silent failure would kill validation figures
+            # invisibly — log the first occurrence with the traceback.
+            if not self._figure_error_logged:
+                self._figure_error_logged = True
+                _log.exception("spec-comparison figure logging failed (logged once; figures disabled this run)")
 
     def close(self) -> None:
         if self.is_main:

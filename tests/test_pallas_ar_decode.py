@@ -130,3 +130,87 @@ def test_greedy_end_gate_matches_scan_path(lm, rng):
     np.testing.assert_array_equal(np.asarray(lens_p), np.asarray(lens_ref))
     assert int(lens_p[0]) == 1 and int(toks_p[0, 0]) == lm.cfg.semantic_eos
     assert (np.asarray(toks_p)[0, 1:] == lm.cfg.semantic_pad).all()
+
+
+# ---------------------------------------------------------------------------
+# VMEM capacity gate: computed byte accounting, tested at the boundary
+# ---------------------------------------------------------------------------
+
+from latent_diffusion_speech_tpu.ops.pallas.ar_decode import (  # noqa: E402
+    DECODE_VMEM_BUDGET_BYTES,
+    decode_vmem_bytes,
+)
+
+
+def _flagship_cfg():
+    enc = RoformerConfig().encoder.__class__()
+    dec = RoformerConfig().encoder.__class__(num_hidden_layers=1)
+    return RoformerConfig(encoder=enc, decoder=dec)
+
+
+def test_vmem_accounting_anchors_to_measured_boundary():
+    """Round-2 measurement on v5e: flagship bf16 B=8 x 430 tok x L=48
+    compiles; B=16 is rejected by Mosaic (scoped allocation > 16 MiB).
+    The byte accounting must reproduce both sides."""
+    cfg = _flagship_cfg()
+    fits = decode_vmem_bytes(cfg, 8, 430, 48, dtype=jnp.bfloat16)["total"]
+    over = decode_vmem_bytes(cfg, 16, 430, 48, dtype=jnp.bfloat16)["total"]
+    assert fits <= DECODE_VMEM_BUDGET_BYTES < over
+    # the measured failure wanted >16 MiB; the accounting must agree
+    assert over > 16 * 2**20
+
+
+def test_vmem_gate_boundary_selection():
+    """A just-over-budget request must select the scan fallback; just-under
+    must keep the kernel.  Scans batch at the flagship serve geometry."""
+    cfg = _flagship_cfg()
+    lm = RoformerSystem.__new__(RoformerSystem)  # selection logic only
+    lm.cfg = cfg
+    from latent_diffusion_speech_tpu.models.lm.roformer import Roformer
+
+    lm.module = Roformer(cfg, dtype=jnp.bfloat16)
+
+    fits = [b for b in range(1, 33) if lm._decode_fits_vmem(b, 430, 48)]
+    assert fits, "flagship B=1 must fit"
+    bmax = max(fits)
+    assert fits == list(range(1, bmax + 1)), "gate must be monotone in batch"
+    assert 8 <= bmax < 16, "anchor: B=8 fits, B=16 does not"
+    assert not lm._decode_fits_vmem(bmax + 1, 430, 48)
+    # a wider decoder (the VERDICT's 'config change could OOM VMEM' case)
+    wide = RoformerConfig(
+        encoder=cfg.encoder,
+        decoder=cfg.decoder.__class__(
+            hidden_size=1024, num_attention_heads=16, num_hidden_layers=4,
+            intermediate_size=4096,
+        ),
+    )
+    lm.cfg = wide
+    lm.module = Roformer(wide, dtype=jnp.bfloat16)
+    assert not lm._decode_fits_vmem(8, 430, 48)
+
+
+def test_vmem_accounting_exact_for_tiny_geometry():
+    """Hand-computed total for a tiny f32 geometry (every term verifiable
+    by eye) — guards the accounting against silent drift from the kernel's
+    operand construction."""
+    enc = RoformerConfig().encoder.__class__(
+        hidden_size=64, num_attention_heads=4, num_hidden_layers=2,
+        intermediate_size=128,
+    )
+    dec = RoformerConfig().encoder.__class__(
+        hidden_size=64, num_attention_heads=4, num_hidden_layers=1,
+        intermediate_size=128,
+    )
+    cfg = RoformerConfig(encoder=enc, decoder=dec, semantic_kmeans_num=300)
+    V = cfg.semantic_vocab_size  # 303
+    assert V == 303
+    s = decode_vmem_bytes(cfg, 2, 20, 11, dtype=jnp.float32)
+    C, H, I, Vp, Vr, Nr, B, L = 64, 4, 128, 384, 304, 24, 2, 11
+    assert s["emb_eff"] == Vr * C * 4
+    assert s["embT"] == C * Vp * 4
+    assert s["rotary_tables"] == 2 * Nr * C * 4
+    assert s["cross_kv"] == 2 * 1 * B * L * C * 4
+    assert s["kv_cache_scratch"] == 2 * 1 * B * Nr * C * 4
+    assert s["repetition_scratch"] == B * Vp * 4
+    assert s["layer_ffn"] == (C * I + I + I * C + C) * 4
+    assert s["total"] == sum(v for k, v in s.items() if k != "total")
