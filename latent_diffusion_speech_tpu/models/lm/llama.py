@@ -241,10 +241,17 @@ class LlamaSystem:
     def loss(self, params, input_ids, labels, attention_mask=None):
         if self.cfg.moe_experts > 0:
             # surface the per-layer Switch aux losses sown by MoEMLP
+            # (select the 'aux' scalars; 'stats' arrays are for the pipeline)
             logits, muts = self.module.apply(
                 {"params": params}, input_ids, attention_mask, mutable=["moe_losses"]
             )
-            aux_leaves = jax.tree_util.tree_leaves(muts.get("moe_losses", {}))
+            aux_leaves = [
+                leaf
+                for path, leaf in jax.tree_util.tree_flatten_with_path(
+                    muts.get("moe_losses", {})
+                )[0]
+                if any(getattr(k, "key", None) == "aux" for k in path)
+            ]
             aux = sum(jnp.mean(jnp.asarray(a)) for a in aux_leaves) / max(len(aux_leaves), 1)
             return self._ce(logits, labels) + self.cfg.moe_aux_weight * aux
         logits = self.module.apply({"params": params}, input_ids, attention_mask)
@@ -267,6 +274,16 @@ class LlamaSystem:
         the embedding, final norm and LM head are small and stay replicated.
         Numerically identical to `loss` (same ops, same dtypes).
 
+        Composes with expert parallelism (pp x ep): MoE blocks run inside the
+        pipeline stages — the expert banks keep their 'expert'-axis GSPMD
+        sharding (the pipeline's shard_map is manual over 'pipe' only), and
+        each layer's Switch routing stats (mean top-1 fraction, mean router
+        prob per expert) ride the activation pytree out of the pipeline, so
+        the full-batch aux loss is reconstructed exactly (mean of equal-size
+        microbatch means == full mean).  Note expert capacity is per
+        MICROBATCH under pp — identical outputs to `loss` whenever no tokens
+        overflow capacity.
+
         No reference equivalent — the reference is DP-only (SURVEY.md §2.8);
         this is the framework's pipeline-parallel training path.
         """
@@ -276,12 +293,7 @@ class LlamaSystem:
         )
 
         cfg = self.cfg
-        if cfg.moe_experts > 0:
-            raise ValueError(
-                "loss_pp: MoE + pipeline parallelism is not wired (the sown "
-                "aux losses don't cross pipeline stages); combine expert "
-                "parallelism with data/model axes instead"
-            )
+        moe = cfg.moe_experts > 0
         S = dict(mesh.shape).get("pipe", 1)
         L = cfg.num_hidden_layers
         if L % max(S, 1) != 0:
@@ -292,6 +304,10 @@ class LlamaSystem:
         stacked = stack_stage_params(
             [stack_stage_params(blocks[s * per : (s + 1) * per]) for s in range(S)]
         )
+        stage_params = {
+            "layers": stacked,
+            "layer_idx": jnp.arange(L, dtype=jnp.int32).reshape(S, per),
+        }
 
         B, T = input_ids.shape
         M = microbatches
@@ -305,31 +321,55 @@ class LlamaSystem:
         else:
             mask = jnp.ones((B, 1, 1, T), bool)
         positions = jnp.arange(T)
-        blk = LlamaBlock(cfg, dtype=self.module.dtype)
+        blk = LlamaBlock(cfg, dtype=self.module.dtype, mesh=self.module.mesh)
 
-        def stage_fn(stage_params, act):
-            h, m = act
+        def stage_fn(sp, act):
+            h, m, stats = act
 
-            def layer(h, p):
-                out, _ = blk.apply({"params": p}, h, positions, mask=m, is_causal=True)
-                return out, None
+            def layer(carry, xs):
+                h, stats = carry
+                p, l_idx = xs
+                if moe:
+                    (out, _), muts = blk.apply(
+                        {"params": p}, h, positions, mask=m, is_causal=True,
+                        mutable=["moe_losses"],
+                    )
+                    layer_stats = muts["moe_losses"]["moe"]["stats"][0]  # (2, E)
+                    stats = jax.lax.dynamic_update_index_in_dim(
+                        stats, layer_stats, l_idx, 0
+                    )
+                else:
+                    out, _ = blk.apply({"params": p}, h, positions, mask=m, is_causal=True)
+                return (out, stats), None
 
-            h, _ = jax.lax.scan(layer, h, stage_params)
-            return h, m
+            (h, stats), _ = jax.lax.scan(
+                layer, (h, stats), (sp["layers"], sp["layer_idx"])
+            )
+            return h, m, stats
 
+        E = max(cfg.moe_experts, 1)
         act = (
             x.reshape(M, B // M, T, x.shape[-1]),
             mask.reshape(M, B // M, 1, 1, T),
+            jnp.zeros((M, L, 2, E), jnp.float32),  # per-layer routing stats
         )
-        h, _ = pipeline_apply(
-            mesh, stage_fn, stacked, act, batch_axis=batch_axis, remat=remat
+        h, _, stats = pipeline_apply(
+            mesh, stage_fn, stage_params, act, batch_axis=batch_axis, remat=remat
         )
         h = h.reshape(B, T, h.shape[-1])
         h = RMSNorm(cfg.rms_norm_eps).apply({"params": params["final_ln"]}, h)
         logits = nn.Dense(cfg.vocab_size, use_bias=False, dtype=self.module.dtype).apply(
             {"params": params["lm_head"]}, h
         )
-        return self._ce(logits, labels)
+        ce = self._ce(logits, labels)
+        if not moe:
+            return ce
+        # exact full-batch Switch aux from microbatch means: f_e, p_e average
+        # linearly over equal-size microbatches
+        f_e = jnp.mean(stats[:, :, 0], axis=0)  # (L, E)
+        p_e = jnp.mean(stats[:, :, 1], axis=0)
+        aux = jnp.mean(E * jnp.sum(f_e * p_e, axis=-1))
+        return ce + cfg.moe_aux_weight * aux
 
     @partial(jax.jit, static_argnames=("self", "sampling", "prompt_len"))
     def _generate(self, params, prompt, prompt_len: int, sampling: SamplingConfig, rng):

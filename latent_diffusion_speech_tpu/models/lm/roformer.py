@@ -431,6 +431,17 @@ class RoformerSystem:
             self._seq_par_cache = (key, jax.jit(fn))
         return self._seq_par_cache[1](self.params, phone, tone, spk_id)
 
+    @staticmethod
+    def _ce(logits, labels):
+        """Shifted next-token CE over valid (!= -100) positions."""
+        logits = logits[:, :-1]
+        targets = labels[:, 1:]
+        valid = targets != -100
+        safe = jnp.where(valid, targets, 0)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
     def loss(self, params, phone, tone, semantic_in, labels, spk_id=None,
              encoder_attention_mask=None, attention_mask=None, dropout_rng=None):
         """Causal CE with -100 ignore (HF convention: logits[:-1] vs labels[1:])."""
@@ -441,13 +452,182 @@ class RoformerSystem:
             deterministic=dropout_rng is None,
             rngs=rngs,
         )
-        logits = logits[:, :-1]
-        targets = labels[:, 1:]
-        valid = targets != -100
-        safe = jnp.where(valid, targets, 0)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-        return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+        return self._ce(logits, labels)
+
+    def loss_pp(
+        self,
+        params,
+        phone,
+        tone,
+        semantic_in,
+        labels,
+        mesh,
+        spk_id=None,
+        encoder_attention_mask=None,
+        attention_mask=None,
+        *,
+        microbatches: int = 4,
+        batch_axis: Optional[str] = None,
+        remat: bool = False,
+    ):
+        """Pipeline-parallel enc-dec loss over the mesh 'pipe' axis.
+
+        GPipe wants homogeneous, shape-preserving stages; an encoder-decoder
+        is heterogeneous (decoder layers carry cross-attention and run on a
+        different stream).  The TPU-native resolution: the activation pytree
+        carries BOTH streams — (enc_hidden, dec_hidden, enc_mask, dec_mask) —
+        and every pipeline slot holds one layer from the combined
+        [enc_0..enc_{E-1}, dec_0..dec_{D-1}] list, padded to S*ceil((E+D)/S)
+        with identity slots.  Encoder params are padded with zero
+        cross-attention blocks so all slots share one leaf structure, and a
+        per-slot `kind` (0=enc, 1=dec, 2=identity) selects the branch with
+        `lax.switch` at runtime.  Decoder slots come after all encoder slots,
+        so by the time a microbatch reaches them its enc_hidden stream IS the
+        final encoder output — cross-attention reads it in place.
+
+        Embeddings and the LM head are small and stay replicated, like the
+        Llama `loss_pp`.  Deterministic (no dropout).  Numerically equal to
+        `loss(dropout_rng=None)` — pinned in tests/test_pipeline.py.
+
+        No reference equivalent: the reference is DP-only (SURVEY.md §2.8);
+        this replaces its accelerate DDP scaling surface
+        (`21_train_lm.py:19`) with a composable pipeline axis.
+        """
+        from latent_diffusion_speech_tpu.parallel.pipeline import (
+            pipeline_apply,
+            stack_stage_params,
+        )
+
+        cfg = self.cfg
+        ecfg, dcfg = cfg.encoder, cfg.decoder
+        if (ecfg.hidden_size, ecfg.intermediate_size) != (
+            dcfg.hidden_size,
+            dcfg.intermediate_size,
+        ):
+            raise ValueError(
+                "loss_pp: encoder/decoder stacks must share hidden and "
+                "intermediate sizes (pipeline slots need one param layout); "
+                f"got enc ({ecfg.hidden_size}, {ecfg.intermediate_size}) vs "
+                f"dec ({dcfg.hidden_size}, {dcfg.intermediate_size})"
+            )
+        S = dict(mesh.shape).get("pipe", 1)
+        E, D = ecfg.num_hidden_layers, dcfg.num_hidden_layers
+        per = -(-(E + D) // max(S, 1))  # ceil
+        n_pad = S * per - (E + D)
+
+        dec_template = params["dec_0"]
+        zeros_dec = jax.tree_util.tree_map(jnp.zeros_like, dec_template)
+        slots = []
+        kinds = []
+        for i in range(E):
+            padded = dict(params[f"enc_{i}"])
+            padded["cross_attn"] = zeros_dec["cross_attn"]
+            padded["cross_ln"] = zeros_dec["cross_ln"]
+            slots.append(padded)
+            kinds.append(0)
+        for i in range(D):
+            slots.append(dict(params[f"dec_{i}"]))
+            kinds.append(1)
+        slots.extend([zeros_dec] * n_pad)
+        kinds.extend([2] * n_pad)
+
+        stage_params = {
+            "layers": stack_stage_params(
+                [stack_stage_params(slots[s * per : (s + 1) * per]) for s in range(S)]
+            ),
+            "kind": jnp.asarray(kinds, jnp.int32).reshape(S, per),
+        }
+
+        B, Le = phone.shape
+        Sd = semantic_in.shape[1]
+        C = ecfg.hidden_size
+        M = microbatches
+        if B % M != 0:
+            raise ValueError(f"loss_pp: batch {B} not divisible by microbatches {M}")
+
+        dtype = self.module.dtype
+        # replicated embeddings (encode()/decode_train() semantics, no dropout)
+        enc_x = nn.Embed(cfg.phone_vocab_size, C).apply(
+            {"params": params["phone_embed"]}, phone
+        ) + nn.Embed(cfg.num_token_types, C).apply({"params": params["tone_embed"]}, tone)
+        enc_x = nn.LayerNorm(epsilon=ecfg.layer_norm_eps).apply(
+            {"params": params["enc_emb_ln"]}, enc_x
+        ).astype(dtype)
+        if cfg.n_spk and cfg.n_spk > 1 and spk_id is not None:
+            enc_x = enc_x + nn.Embed(cfg.n_spk + 1, C).apply(
+                {"params": params["spk_embed"]}, spk_id
+            )
+        dec_x = nn.Embed(cfg.semantic_vocab_size, dcfg.hidden_size).apply(
+            {"params": params["semantic_embed"]}, semantic_in
+        ) + nn.Embed(1, dcfg.hidden_size).apply(
+            {"params": params["dec_type_embed"]}, jnp.zeros_like(semantic_in)
+        )
+        dec_x = nn.LayerNorm(epsilon=dcfg.layer_norm_eps).apply(
+            {"params": params["dec_emb_ln"]}, dec_x
+        ).astype(dtype)
+
+        em = (
+            encoder_attention_mask.astype(bool)
+            if encoder_attention_mask is not None
+            else jnp.ones((B, Le), bool)
+        )
+        dm = (
+            attention_mask.astype(bool)
+            if attention_mask is not None
+            else jnp.ones((B, Sd), bool)
+        )
+
+        enc_layer = Layer(ecfg, cross_attention=False, dtype=dtype)
+        dec_layer = Layer(dcfg, cross_attention=True, dtype=dtype)
+
+        def enc_branch(op):
+            p, (eh, dh, em, dm) = op
+            out, _ = enc_layer.apply(
+                {"params": p}, eh, self_mask=em[:, None, None, :]
+            )
+            return (out, dh, em, dm)
+
+        def dec_branch(op):
+            p, (eh, dh, em, dm) = op
+            out, _ = dec_layer.apply(
+                {"params": p}, dh, enc_states=eh,
+                self_mask=dm[:, None, None, :],
+                cross_mask=em[:, None, None, :], is_causal=True,
+            )
+            return (eh, out, em, dm)
+
+        def id_branch(op):
+            return op[1]
+
+        def stage_fn(sp, act):
+            def one(act, xs):
+                p, kind = xs
+                return jax.lax.switch(kind, [enc_branch, dec_branch, id_branch], (p, act)), None
+
+            act, _ = jax.lax.scan(one, act, (sp["layers"], sp["kind"]))
+            return act
+
+        act = (
+            enc_x.reshape(M, B // M, Le, C),
+            dec_x.reshape(M, B // M, Sd, C),
+            em.reshape(M, B // M, Le),
+            dm.reshape(M, B // M, Sd),
+        )
+        _, dec_h, _, _ = pipeline_apply(
+            mesh, stage_fn, stage_params, act, batch_axis=batch_axis, remat=remat
+        )
+        dec_h = dec_h.reshape(B, Sd, dec_h.shape[-1])
+
+        # replicated LM head (_lm_head semantics)
+        h = nn.Dense(dcfg.hidden_size, dtype=dtype).apply(
+            {"params": params["head_transform"]}, dec_h
+        )
+        h = nn.gelu(h, approximate=False)
+        h = nn.LayerNorm(epsilon=dcfg.layer_norm_eps).apply(
+            {"params": params["head_ln"]}, h
+        ).astype(dtype)
+        logits = h @ params["semantic_embed"]["embedding"].T.astype(h.dtype) + params["head_bias"]
+        return self._ce(logits, labels)
 
     def _decode_fits_vmem(self, batch: int, max_new_tokens: int, enc_len: int) -> bool:
         """VMEM capacity gate for the whole-decode Pallas kernel, computed

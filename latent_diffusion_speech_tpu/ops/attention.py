@@ -40,11 +40,15 @@ _seq_parallel: list = []
 def sequence_parallel(mesh, axis: str = "seq"):
     """Route self-attention inside this context through ring attention.
 
-    Only plain self-attention qualifies (no mask/bias/dropout, q and k the
-    same length, length divisible by the axis size); anything else falls back
-    to the XLA path unchanged.  Convolutional models (the UNet) are not
+    Self-attention with at most a key-padding mask qualifies (no bias, no
+    attention dropout, q and k the same length divisible by the axis size;
+    causal and (B, 1, 1, T) key-padding masks are handled exactly — the mask
+    block rotates around the ring with its k/v block); anything else falls
+    back to the XLA path unchanged.  Convolutional models (the UNet) are not
     sequence-shardable this way — their convs would need halo exchange — so
-    this is wired for the pure-transformer stacks (RoFormer/BERT encoders)."""
+    this is wired for the pure-transformer stacks (RoFormer/BERT encoders).
+    Works for training too: the ring is reverse-mode differentiable
+    (tests/test_ring_attention.py pins gradient parity)."""
     _seq_parallel.append((mesh, axis))
     try:
         yield
@@ -53,17 +57,27 @@ def sequence_parallel(mesh, axis: str = "seq"):
 
 
 def _ring_eligible(q, k, bias, mask, dropout_rate, dropout_rng):
-    if not _seq_parallel or bias is not None or mask is not None:
+    if not _seq_parallel or bias is not None:
         return None
     if dropout_rate > 0.0 and dropout_rng is not None:
         return None
     if q.shape[1] != k.shape[1]:
         return None
+    kv_mask = None
+    if mask is not None:
+        # only pure key-padding masks qualify: (B, 1, 1, T_kv) — the block
+        # rotates around the ring with its k/v block; full (T_q, T_kv)
+        # attention matrices fall back to the XLA path
+        if mask.ndim != 4 or mask.shape[1] != 1 or mask.shape[2] != 1:
+            return None
+        if mask.shape[-1] != k.shape[1]:
+            return None
+        kv_mask = mask[:, 0, 0, :].astype(bool)
     mesh, axis = _seq_parallel[-1]
     n = dict(mesh.shape)[axis]
     if n <= 1 or q.shape[1] % n != 0:
         return None
-    return mesh, axis
+    return mesh, axis, kv_mask
 
 
 def dot_product_attention(
@@ -94,8 +108,11 @@ def dot_product_attention(
     if ring is not None and impl == "xla":
         from latent_diffusion_speech_tpu.ops.ring_attention import ring_attention
 
-        mesh, axis = ring
-        return ring_attention(q, k, v, mesh, axis=axis, is_causal=is_causal, scale=scale)
+        mesh, axis, kv_mask = ring
+        return ring_attention(
+            q, k, v, mesh, axis=axis, is_causal=is_causal, scale=scale,
+            kv_mask=kv_mask,
+        )
 
     if impl == "pallas":
         from latent_diffusion_speech_tpu.ops.pallas.flash_attention import flash_attention

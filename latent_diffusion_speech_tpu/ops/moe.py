@@ -37,6 +37,14 @@ def _constrain_expert(x: jnp.ndarray, mesh: Optional[Mesh]) -> jnp.ndarray:
     if mesh is None or dict(mesh.shape).get(AXIS_EXPERT, 1) <= 1:
         return x
     spec = P(AXIS_EXPERT, *([None] * (x.ndim - 1)))
+    # inside a partially-manual shard_map body (e.g. the GPipe pipeline,
+    # manual over 'pipe') a NamedSharding built from the outer all-Auto mesh
+    # fails the context-mesh consistency check; a bare PartitionSpec resolves
+    # against the context mesh where 'expert' is still an auto axis
+    from jax.sharding import get_abstract_mesh
+
+    if not get_abstract_mesh().empty:
+        return jax.lax.with_sharding_constraint(x, spec)
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
@@ -115,6 +123,12 @@ class MoEMLP(nn.Module):
         # Switch aux loss: fraction of tokens whose TOP-1 pick is e, times the
         # mean router prob of e, summed and scaled by E (balanced -> 1.0)
         top1 = jax.nn.one_hot(gate_idx[:, 0], E, dtype=jnp.float32)
-        aux = E * jnp.sum(jnp.mean(top1, axis=0) * jnp.mean(probs, axis=0))
+        f_e = jnp.mean(top1, axis=0)
+        p_e = jnp.mean(probs, axis=0)
+        aux = E * jnp.sum(f_e * p_e)
         self.sow("moe_losses", "aux", aux)
+        # per-call routing stats (2, E): microbatched callers (the GPipe
+        # pipeline) average these across microbatches to reconstruct the
+        # exact full-batch aux — mean-of-means == full mean for equal sizes
+        self.sow("moe_losses", "stats", jnp.stack([f_e, p_e]))
         return y.reshape(B, T, C), aux

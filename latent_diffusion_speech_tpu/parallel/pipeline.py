@@ -9,6 +9,16 @@ the stage-to-stage handoff is a `ppermute` ring shift over ICI.  XLA sees ONE
 compiled program; autodiff through `ppermute`/`scan` yields the standard
 backward pipeline (reverse shifts), so the same op trains.
 
+Composition with the other mesh axes
+------------------------------------
+The shard_map is *partially manual*: only the 'pipe' axis is manual
+(`axis_names={pipe_axis}`); 'data', 'model', 'seq' and 'expert' stay under
+GSPMD auto-sharding inside the body.  Stage params therefore keep any
+tensor-parallel ('model') or expert-parallel ('expert') layout they carry —
+XLA's SPMD partitioner inserts those collectives inside each pipeline stage,
+composing pp x tp, pp x ep and dp x pp from the same op
+(tests/test_pipeline.py, tests/test_moe.py pin the combinations).
+
 Schedule
 --------
 `M` microbatches through `S` stages take `M + S - 1` ticks (bubble fraction
@@ -25,17 +35,23 @@ side inputs ride along with their microbatch.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from latent_diffusion_speech_tpu.parallel.mesh import AXIS_PIPE
 
 __all__ = ["pipeline_apply", "stack_stage_params"]
+
+
+def _varying(x, axis: str):
+    """Mark an array device-varying over `axis` (shard_map VMA typing)."""
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        return pcast(x, (axis,), to="varying")
+    return jax.lax.pvary(x, (axis,))  # jax < 0.9
 
 
 def stack_stage_params(stage_param_list) -> Any:
@@ -62,11 +78,14 @@ def pipeline_apply(
       stage_fn: `(params_for_one_stage, activation) -> activation` — must be
         shape-preserving on the activation pytree (homogeneous stages).
       stage_params: pytree whose leaves have leading dim S (one slice per
-        stage), e.g. from `stack_stage_params`.  Sharded over `pipe_axis`.
+        stage), e.g. from `stack_stage_params`.  Sharded over `pipe_axis`;
+        any sharding of the *remaining* dims over auto axes (e.g. 'model'
+        tensor parallelism, 'expert' banks) is preserved inside the stage.
       x: activation pytree; every leaf is (M, mb, ...) — M microbatches of
         size mb.  (Callers microbatch by reshaping (B, ...) -> (M, B//M, ...).)
       batch_axis: optional mesh axis name sharding the microbatch dim (dim 1)
         of every activation leaf — combine data- and pipeline-parallelism.
+        Applied as a GSPMD constraint (the axis stays auto).
       remat: rematerialize each stage application in the backward pass
         (activation memory falls from O(ticks) to O(ticks) boundaries only).
 
@@ -88,22 +107,30 @@ def pipeline_apply(
 
     fn = jax.checkpoint(stage_fn) if remat else stage_fn
 
-    act_spec = P(None, batch_axis) if batch_axis else P()
-    param_spec = P(pipe_axis)
+    def constrain_batch(tree):
+        if batch_axis is None:
+            return tree
+        # bare PartitionSpec: resolved against the shard_map body's context
+        # mesh (whose 'pipe' axis is Manual) — a NamedSharding built from the
+        # outer all-Auto mesh would fail the context-mesh consistency check
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(
+                a, P(None, batch_axis, *([None] * (a.ndim - 2)))
+            ),
+            tree,
+        )
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(param_spec, act_spec),
-        out_specs=act_spec,
-        check_rep=False,
-    )
     def run(params_local, x_local):
         # local param leaves are (1, ...): this device's single stage
         params_local = jax.tree_util.tree_map(lambda a: a[0], params_local)
+        x_local = constrain_batch(x_local)
         idx = jax.lax.axis_index(pipe_axis)
-        state = jax.tree_util.tree_map(lambda a: jnp.zeros_like(a[0]), x_local)
-        outputs = jax.tree_util.tree_map(jnp.zeros_like, x_local)
+        state = jax.tree_util.tree_map(
+            lambda a: _varying(jnp.zeros_like(a[0]), pipe_axis), x_local
+        )
+        outputs = jax.tree_util.tree_map(
+            lambda a: _varying(jnp.zeros_like(a), pipe_axis), x_local
+        )
 
         def tick(carry, t):
             state, outputs = carry
@@ -148,4 +175,12 @@ def pipeline_apply(
 
         return jax.tree_util.tree_map(bcast, outputs)
 
-    return run(stage_params, x)
+    param_specs = jax.tree_util.tree_map(lambda _: P(pipe_axis), stage_params)
+    act_specs = jax.tree_util.tree_map(lambda _: P(), x)
+    return jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(param_specs, act_specs),
+        out_specs=act_specs,
+        axis_names={pipe_axis},
+    )(stage_params, x)

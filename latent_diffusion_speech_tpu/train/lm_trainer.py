@@ -136,14 +136,75 @@ class LMTrainer:
         param_shardings = self.param_shardings
 
         pipe_size = dict(mesh.shape).get("pipe", 1)
-        if pipe_size > 1 and self.lm_type != "llama":
-            raise ValueError(
-                "parallel.pipe > 1 is wired for the llama LM (homogeneous "
-                "decoder trunk); the roformer's 1-layer decoder has nothing "
-                "to pipeline — use data/model axes for it"
-            )
+        seq_size = dict(mesh.shape).get("seq", 1)
+        if seq_size > 1:
+            # sequence-parallel training: self-attention in the loss routes
+            # through exact ring attention over the mesh 'seq' axis
+            # (ops/attention.sequence_parallel).  The ring has no attention-
+            # probability dropout (the reference default 0.1 would need a
+            # sharded-rng story); require it off explicitly rather than
+            # silently falling back to unsharded attention.
+            attn_drop = 0.0
+            if self.lm_type == "roformer":
+                attn_drop = max(
+                    self.lm_cfg.encoder.attention_probs_dropout_prob,
+                    self.lm_cfg.decoder.attention_probs_dropout_prob,
+                )
+            if attn_drop > 0:
+                raise ValueError(
+                    "parallel.seq > 1 requires attention_probs_dropout_prob=0 "
+                    "(ring attention does not implement attention-prob "
+                    "dropout; hidden dropout still applies)"
+                )
 
-        if self.lm_type == "llama" and pipe_size > 1:
+        def _with_seq_parallel(fn):
+            if seq_size <= 1:
+                return fn
+
+            from latent_diffusion_speech_tpu.ops.attention import sequence_parallel
+
+            def wrapped(params, batch, dropout_rng):
+                for key in ("phone", "semantic", "input_ids"):
+                    if key in batch and batch[key].shape[1] % seq_size != 0:
+                        raise ValueError(
+                            f"seq-parallel: batch dim {key}={batch[key].shape[1]} "
+                            f"not divisible by seq={seq_size}; set the collate "
+                            f"pad_multiple to a multiple of parallel.seq"
+                        )
+                with sequence_parallel(mesh):
+                    return fn(params, batch, dropout_rng)
+
+            return wrapped
+
+        if pipe_size > 1 and self.lm_type == "roformer":
+            # enc-dec pipeline (RoformerSystem.loss_pp): layer slots are
+            # kind-switched (enc/dec/identity), deterministic — require
+            # dropout off rather than silently changing train semantics
+            if max(
+                self.lm_cfg.encoder.hidden_dropout_prob,
+                self.lm_cfg.encoder.attention_probs_dropout_prob,
+                self.lm_cfg.decoder.hidden_dropout_prob,
+                self.lm_cfg.decoder.attention_probs_dropout_prob,
+            ) > 0:
+                raise ValueError(
+                    "parallel.pipe > 1 with the roformer requires dropout off "
+                    "(hidden_dropout_prob=attention_probs_dropout_prob=0): "
+                    "the pipeline path is deterministic"
+                )
+            microbatches = self.cfg.parallel.pipe_microbatches
+            data_size = dict(mesh.shape).get("data", 1)
+            batch_axis = "data" if data_size > 1 else None
+
+            def loss_fn(params, batch, dropout_rng):
+                del dropout_rng  # deterministic pipeline path
+                return system.loss_pp(
+                    params, batch["phone"], batch["tone"], batch["semantic"],
+                    batch["labels"], mesh, spk_id=batch.get("spk_id"),
+                    encoder_attention_mask=batch.get("encoder_attention_mask"),
+                    attention_mask=batch.get("attention_mask"),
+                    microbatches=microbatches, batch_axis=batch_axis,
+                )
+        elif self.lm_type == "llama" and pipe_size > 1:
             # pipeline-parallel training path: the block stack runs
             # GPipe-microbatched over the mesh 'pipe' axis (parallel/pipeline.py)
             microbatches = self.cfg.parallel.pipe_microbatches
@@ -178,14 +239,23 @@ class LMTrainer:
                     dropout_rng=dropout_rng,
                 )
 
+        loss_fn = _with_seq_parallel(loss_fn)
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, dropout_rng):
-            batch = jax.tree_util.tree_map(
-                lambda x: jax.lax.with_sharding_constraint(
-                    x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
-                ),
-                batch,
-            )
+            def constrain(x):
+                # batch over 'data'; when sequence parallelism is on, the
+                # token dim is laid out over 'seq' too so the ring's
+                # shard_map starts from the right layout
+                seq_ax = (
+                    "seq"
+                    if seq_size > 1 and x.ndim >= 2 and x.shape[1] % seq_size == 0
+                    else None
+                )
+                spec = P("data", seq_ax, *([None] * max(x.ndim - 2, 0)))[: x.ndim]
+                return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+            batch = jax.tree_util.tree_map(constrain, batch)
             loss, grads = jax.value_and_grad(loss_fn)(params, batch, dropout_rng)
             grads = jax.tree_util.tree_map(
                 jax.lax.with_sharding_constraint, grads, param_shardings

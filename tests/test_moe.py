@@ -74,9 +74,12 @@ class TestRouting:
         p = _init(m, x)
         (y, aux), muts = m.apply({"params": p}, x, mutable=["moe_losses"])
         assert np.isfinite(float(aux)) and float(aux) > 0
-        sown = jax.tree_util.tree_leaves(muts["moe_losses"])
-        assert len(sown) == 1
-        np.testing.assert_allclose(float(sown[0]), float(aux))
+        sown = muts["moe_losses"]
+        np.testing.assert_allclose(float(sown["aux"][0]), float(aux))
+        # routing stats (2, E) reconstruct the aux: E * sum(f_e * p_e)
+        stats = np.asarray(sown["stats"][0])
+        assert stats.shape == (2, 4)
+        np.testing.assert_allclose(4 * np.sum(stats[0] * stats[1]), float(aux), rtol=1e-6)
 
     def test_aux_loss_balanced_is_one(self):
         """Perfectly uniform router (zero gate weights) -> Switch aux == 1."""
@@ -152,12 +155,36 @@ class TestLlamaMoE:
         )
         assert toks.shape[0] == 1 and int(lens[0]) <= 6
 
-    def test_loss_pp_rejects_moe(self):
-        mesh = build_mesh(ParallelConfig(data=4, pipe=2))
-        sys_ = LlamaSystem(_moe_llama_cfg(), seed=0)
-        ids = jnp.zeros((4, 8), jnp.int32)
-        with pytest.raises(ValueError, match="MoE"):
-            sys_.loss_pp(sys_.params, ids, ids, mesh)
+    def test_loss_pp_moe_matches_loss(self, rng):
+        """pp x ep composition: MoE blocks run INSIDE pipeline stages; with
+        no capacity overflow (cf = E) the pipelined loss equals the plain one
+        (per-layer aux reconstructed exactly from microbatch routing stats)."""
+        mesh = build_mesh(ParallelConfig(data=2, pipe=2, expert=2))
+        cfg = _moe_llama_cfg(moe_capacity_factor=4.0)
+        sys_ = LlamaSystem(cfg, seed=0, mesh=mesh)
+        ids = jnp.asarray(rng.integers(0, 60, (4, 12)), jnp.int32)
+        base = float(sys_.loss(sys_.params, ids, ids))
+        pp = float(
+            jax.jit(
+                lambda p: sys_.loss_pp(p, ids, ids, mesh, microbatches=2)
+            )(sys_.params)
+        )
+        np.testing.assert_allclose(pp, base, rtol=2e-5)
+
+    def test_loss_pp_moe_grads_match(self, rng):
+        mesh = build_mesh(ParallelConfig(data=2, pipe=2, expert=2))
+        cfg = _moe_llama_cfg(moe_capacity_factor=4.0)
+        sys_ = LlamaSystem(cfg, seed=0, mesh=mesh)
+        ids = jnp.asarray(rng.integers(0, 60, (4, 12)), jnp.int32)
+        g_base = jax.grad(lambda p: sys_.loss(p, ids, ids))(sys_.params)
+        g_pp = jax.jit(
+            jax.grad(lambda p: sys_.loss_pp(p, ids, ids, mesh, microbatches=2))
+        )(sys_.params)
+        la, ta = jax.tree_util.tree_flatten(g_pp)
+        lb, tb = jax.tree_util.tree_flatten(g_base)
+        assert ta == tb
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
 
     def test_ep_loss_matches_unsharded(self, rng):
         """dp2 x ep4: expert-sharded params must give the replicated loss."""
@@ -201,3 +228,45 @@ class TestTrainerMoE:
         losses = [float(trainer.train_step(batch)["loss"]) for _ in range(15)]
         assert np.isfinite(losses).all()
         assert min(losses[-5:]) < losses[0], losses
+
+    def test_trainer_pp_ep_matches_dp(self):
+        """LMTrainer on dp2 x pp2 x ep2 == dp8: identical params after 2
+        optimizer steps (MoE capacity ample so no overflow divergence)."""
+        from latent_diffusion_speech_tpu.config import Config
+        from latent_diffusion_speech_tpu.train.lm_trainer import LMTrainer
+
+        def make_cfg():
+            cfg = Config()
+            m = cfg.text2semantic.model
+            m.type = "llama"
+            m.semantic_kmeans_num = 16
+            d = m.decoder
+            d.hidden_size, d.num_attention_heads = 32, 2
+            d.num_hidden_layers, d.intermediate_size = 2, 32
+            m.moe_experts = 2
+            m.moe_top_k = 1
+            m.moe_capacity_factor = 4.0
+            cfg.text2semantic.train.gradient_accumulation_steps = 1
+            return cfg
+
+        rng = np.random.default_rng(11)
+        trainers = []
+        for par in (ParallelConfig(data=8), ParallelConfig(data=2, pipe=2, expert=2)):
+            cfg = make_cfg()
+            cfg.parallel = par
+            trainers.append(LMTrainer(cfg, mesh=build_mesh(par, devices=jax.devices()[:8])))
+        dp, ppep = trainers
+        losses = {id(dp): [], id(ppep): []}
+        for step in range(2):
+            ids = rng.integers(0, dp.lm_cfg.vocab_size, (8, 12)).astype(np.int32)
+            batch = {"input_ids": ids, "labels": ids.copy(),
+                     "attention_mask": np.ones_like(ids)}
+            for tr in (dp, ppep):
+                m = tr.train_step(tr.device_put_batch(dict(batch)))
+                losses[id(tr)].append(float(m["loss"]))
+        np.testing.assert_allclose(losses[id(ppep)], losses[id(dp)], rtol=2e-5)
+        la, ta = jax.tree_util.tree_flatten(ppep.system.params)
+        lb, tb = jax.tree_util.tree_flatten(dp.system.params)
+        assert ta == tb
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)

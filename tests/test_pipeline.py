@@ -211,16 +211,6 @@ class TestLlamaPipeline:
         np.testing.assert_allclose(losses[id(pp)], losses[id(dp)], rtol=2e-5)
         _tree_allclose(pp.system.params, dp.system.params, rtol=5e-4, atol=1e-5)
 
-    def test_lm_trainer_pp_roformer_raises(self):
-        from latent_diffusion_speech_tpu.config import Config
-        from latent_diffusion_speech_tpu.train.lm_trainer import LMTrainer
-
-        cfg = Config()
-        cfg.text2semantic.model.type = "roformer"
-        cfg.parallel = ParallelConfig(data=2, pipe=4)
-        with pytest.raises(ValueError, match="pipe"):
-            LMTrainer(cfg, mesh=build_mesh(cfg.parallel, devices=jax.devices()[:8]))
-
     def test_loss_pp_dp_combo_jitted(self, setup, pipe_mesh):
         """jit-compiled dp2 x pp4: one program, batch sharded over 'data'."""
         system, ids, labels, mask = setup
@@ -235,3 +225,186 @@ class TestLlamaPipeline:
 
         pp = step(system.params, ids, labels, mask)
         np.testing.assert_allclose(float(pp), float(base), rtol=2e-5)
+
+
+class TestRoformerPipeline:
+    """Enc-dec GPipe: kind-switched slots (enc/dec/identity) over 'pipe'
+    (RoformerSystem.loss_pp).  The serve-default RoFormer can now pipeline —
+    VERDICT r2 item 1a."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from latent_diffusion_speech_tpu.models.lm.roformer import (
+            RoformerConfig, RoformerSystem, StackConfig,
+        )
+
+        cfg = RoformerConfig(
+            encoder=StackConfig(num_hidden_layers=3, hidden_size=32,
+                                num_attention_heads=2, intermediate_size=48),
+            decoder=StackConfig(num_hidden_layers=2, hidden_size=32,
+                                num_attention_heads=4, intermediate_size=48),
+            semantic_kmeans_num=16, n_spk=4,
+        )
+        system = RoformerSystem(cfg, seed=0)
+        rng = np.random.default_rng(2)
+        B, L, S = 8, 12, 20
+        phone = rng.integers(1, 40, (B, L)).astype(np.int32)
+        tone = rng.integers(0, 5, (B, L)).astype(np.int32)
+        semantic = rng.integers(0, 16, (B, S)).astype(np.int32)
+        labels = rng.integers(0, 16, (B, S)).astype(np.int32)
+        spk = np.ones((B, L), np.int32)
+        plens = rng.integers(L // 2, L + 1, B)
+        slens = rng.integers(S // 2, S + 1, B)
+        emask = (np.arange(L)[None, :] < plens[:, None]).astype(np.int32)
+        dmask = (np.arange(S)[None, :] < slens[:, None]).astype(np.int32)
+        labels[dmask == 0] = -100
+        return system, tuple(
+            jnp.asarray(x) for x in (phone, tone, semantic, labels, spk, emask, dmask)
+        )
+
+    def test_loss_pp_matches_loss(self, setup, pipe_mesh):
+        """5 enc+dec layers over 4 stages (2 slots/stage, 3 identity pads)."""
+        system, (phone, tone, semantic, labels, spk, emask, dmask) = setup
+        base = system.loss(
+            system.params, phone, tone, semantic, labels, spk_id=spk,
+            encoder_attention_mask=emask, attention_mask=dmask,
+        )
+        pp = system.loss_pp(
+            system.params, phone, tone, semantic, labels, pipe_mesh, spk_id=spk,
+            encoder_attention_mask=emask, attention_mask=dmask, microbatches=4,
+        )
+        np.testing.assert_allclose(float(pp), float(base), rtol=2e-5)
+
+    def test_loss_pp_grads_match(self, setup, pipe_mesh):
+        system, (phone, tone, semantic, labels, spk, emask, dmask) = setup
+
+        def f_base(p):
+            return system.loss(p, phone, tone, semantic, labels, spk_id=spk,
+                               encoder_attention_mask=emask, attention_mask=dmask)
+
+        def f_pp(p):
+            return system.loss_pp(p, phone, tone, semantic, labels, pipe_mesh,
+                                  spk_id=spk, encoder_attention_mask=emask,
+                                  attention_mask=dmask, microbatches=2)
+
+        g_base = jax.grad(f_base)(system.params)
+        g_pp = jax.jit(jax.grad(f_pp))(system.params)
+        _tree_allclose(g_pp, g_base, rtol=5e-4, atol=1e-5)
+
+    def test_lm_trainer_pp_matches_dp(self):
+        """Roformer LMTrainer on dp2 x pp4 == dp8 (3 optimizer steps)."""
+        from latent_diffusion_speech_tpu.config import Config
+        from latent_diffusion_speech_tpu.train.lm_trainer import LMTrainer
+
+        def make_cfg():
+            cfg = Config()
+            m = cfg.text2semantic.model
+            m.type = "roformer"
+            m.semantic_kmeans_num = 16
+            for stack in (m.encoder, m.decoder):
+                stack.hidden_size = 32
+                stack.num_attention_heads = 2
+                stack.num_hidden_layers = 2
+                stack.intermediate_size = 48
+                stack.hidden_dropout_prob = 0.0
+                stack.attention_probs_dropout_prob = 0.0
+            cfg.text2semantic.train.gradient_accumulation_steps = 1
+            return cfg
+
+        rng = np.random.default_rng(9)
+        trainers = []
+        for par in (ParallelConfig(data=8), ParallelConfig(data=2, pipe=4)):
+            cfg = make_cfg()
+            cfg.parallel = par
+            trainers.append(LMTrainer(cfg, mesh=build_mesh(par, devices=jax.devices()[:8])))
+        dp, pp = trainers
+        losses = {id(dp): [], id(pp): []}
+        B, L, S = 8, 12, 16
+        for step in range(3):
+            batch = {
+                "phone": rng.integers(1, 40, (B, L)).astype(np.int32),
+                "tone": rng.integers(0, 5, (B, L)).astype(np.int32),
+                "semantic": rng.integers(0, 16, (B, S)).astype(np.int32),
+                "labels": rng.integers(0, 16, (B, S)).astype(np.int32),
+                "spk_id": np.ones((B, L), np.int32),
+                "encoder_attention_mask": np.ones((B, L), np.int32),
+                "attention_mask": np.ones((B, S), np.int32),
+            }
+            for tr in (dp, pp):
+                m = tr.train_step(tr.device_put_batch(dict(batch)))
+                losses[id(tr)].append(float(m["loss"]))
+        np.testing.assert_allclose(losses[id(pp)], losses[id(dp)], rtol=2e-5)
+        _tree_allclose(pp.system.params, dp.system.params, rtol=5e-4, atol=1e-5)
+
+    def test_pp_requires_dropout_off(self):
+        from latent_diffusion_speech_tpu.config import Config
+        from latent_diffusion_speech_tpu.train.lm_trainer import LMTrainer
+
+        cfg = Config()
+        cfg.text2semantic.model.type = "roformer"  # default dropout 0.1
+        cfg.parallel = ParallelConfig(data=2, pipe=4)
+        with pytest.raises(ValueError, match="dropout"):
+            LMTrainer(cfg, mesh=build_mesh(cfg.parallel, devices=jax.devices()[:8]))
+
+
+class TestThreeAxisTrainer:
+    """dp2 x tp2 x pp2: batch on 'data', Megatron kernel layouts on 'model'
+    (GSPMD auto inside the pipeline's partial-manual shard_map), GPipe over
+    'pipe' — one jitted program.  Parameter equality vs dp8 after 2 steps
+    (VERDICT r2 item 1c)."""
+
+    def test_lm_trainer_dp_tp_pp_matches_dp(self):
+        from latent_diffusion_speech_tpu.config import Config
+        from latent_diffusion_speech_tpu.train.lm_trainer import LMTrainer
+
+        def make_cfg():
+            cfg = Config()
+            m = cfg.text2semantic.model
+            m.type = "llama"
+            m.semantic_kmeans_num = 16
+            d = m.decoder
+            d.hidden_size, d.num_attention_heads = 32, 2
+            d.num_hidden_layers, d.intermediate_size = 2, 48
+            cfg.text2semantic.train.gradient_accumulation_steps = 1
+            return cfg
+
+        rng = np.random.default_rng(13)
+        trainers = []
+        for par in (ParallelConfig(data=8), ParallelConfig(data=2, model=2, pipe=2)):
+            cfg = make_cfg()
+            cfg.parallel = par
+            trainers.append(LMTrainer(cfg, mesh=build_mesh(par, devices=jax.devices()[:8])))
+        dp, combo = trainers
+        # the 3-axis trainer really holds tensor-parallel params
+        specs = {str(s.spec) for s in jax.tree_util.tree_leaves(combo.param_shardings)}
+        assert any("model" in s for s in specs), specs
+        losses = {id(dp): [], id(combo): []}
+        for step in range(2):
+            ids = rng.integers(0, dp.lm_cfg.vocab_size, (8, 16)).astype(np.int32)
+            batch = {"input_ids": ids, "labels": ids.copy(),
+                     "attention_mask": np.ones_like(ids)}
+            for tr in (dp, combo):
+                m = tr.train_step(tr.device_put_batch(dict(batch)))
+                losses[id(tr)].append(float(m["loss"]))
+        np.testing.assert_allclose(losses[id(combo)], losses[id(dp)], rtol=2e-5)
+        _tree_allclose(combo.system.params, dp.system.params, rtol=5e-4, atol=1e-5)
+
+
+class TestRoformerPipelineGuards:
+    def test_mismatched_stack_geometry_raises(self, pipe_mesh):
+        from latent_diffusion_speech_tpu.models.lm.roformer import (
+            RoformerConfig, RoformerSystem, StackConfig,
+        )
+
+        cfg = RoformerConfig(
+            encoder=StackConfig(num_hidden_layers=2, hidden_size=32,
+                                num_attention_heads=2, intermediate_size=48),
+            decoder=StackConfig(num_hidden_layers=1, hidden_size=64,
+                                num_attention_heads=2, intermediate_size=48),
+            semantic_kmeans_num=16, n_spk=2,
+        )
+        system = RoformerSystem(cfg, seed=0)
+        phone = jnp.ones((4, 8), jnp.int32)
+        sem = jnp.ones((4, 8), jnp.int32)
+        with pytest.raises(ValueError, match="hidden"):
+            system.loss_pp(system.params, phone, phone, sem, sem, pipe_mesh)
