@@ -253,24 +253,29 @@ class DiffusionTrainer:
 
     def save(self):
         # rank-0-only write (reference: Saver_empty on non-main ranks,
-        # solver.py:88-91); in multi-host runs every process reaches here with
-        # the same fully-replicated global params, so skipping is lossless.
+        # solver.py:88-91).  Cross-host-sharded params are allgathered first
+        # — a collective, so it runs on EVERY rank before the rank gate;
+        # a no-op for the replicated multi-host-DP case.
         from latent_diffusion_speech_tpu.parallel.dist import is_main_process
+        from latent_diffusion_speech_tpu.parallel.multihost import gather_to_host
 
+        tcfg = self.cfg.diffusion.train
+        params = gather_to_host(self.system.params)
+        opt_state = gather_to_host(self.opt_state) if tcfg.save_opt else None
+        ema = gather_to_host(self.ema_params) if self.ema_params is not None else None
         if not is_main_process():
             return
-        tcfg = self.cfg.diffusion.train
         save_checkpoint(
             tcfg.expdir,
             self.step,
-            self.system.params,
-            self.opt_state if tcfg.save_opt else None,
+            params,
+            opt_state,
             keep=tcfg.last_save_model_num,
             # data-position sidecar: a resumed run replays the exact batch
             # stream (epoch-keyed shuffle + mid-epoch skip; reference can't)
             meta={"epoch": self._epoch, "batch_in_epoch": self._batch_in_epoch},
             # EMA tree rides as a model_<step>.ema.ckpt sidecar
-            extra={"ema": self.ema_params} if self.ema_params is not None else None,
+            extra={"ema": ema} if ema is not None else None,
         )
         if self.vq_state is not None:
             # learned-VQ codebook saved beside the model (reference keeps a

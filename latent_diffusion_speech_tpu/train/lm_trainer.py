@@ -361,15 +361,21 @@ class LMTrainer:
                 logger.log_audio(self.step, f"val/audio_{i}", wav, sr)
 
     def save(self):
-        # rank-0-only write (reference: Saver_empty on non-main ranks)
+        # rank-0-only write (reference: Saver_empty on non-main ranks).
+        # Cross-host-sharded params (model/pipe/expert spanning processes)
+        # are allgathered first — a collective, so it runs on EVERY rank,
+        # before the rank gate; a no-op for replicated/addressable leaves.
         from latent_diffusion_speech_tpu.parallel.dist import is_main_process
+        from latent_diffusion_speech_tpu.parallel.multihost import gather_to_host
 
+        tcfg = self.cfg.text2semantic.train
+        params = gather_to_host(self.system.params)
+        opt_state = gather_to_host(self.opt_state) if tcfg.save_opt else None
         if not is_main_process():
             return
-        tcfg = self.cfg.text2semantic.train
         save_checkpoint(
-            tcfg.expdir, self.step, self.system.params,
-            self.opt_state if tcfg.save_opt else None, keep=tcfg.last_save_model_num,
+            tcfg.expdir, self.step, params,
+            opt_state, keep=tcfg.last_save_model_num,
             meta={"epoch": self._epoch, "batch_in_epoch": self._batch_in_epoch},
         )
 

@@ -6,7 +6,17 @@ tiny-geometry DiffusionTrainer DP step over a 4-device global mesh.  Each
 process holds only its local half of the global batch — the exact multi-host
 shape of a pod run (per-host loader shards + `global_shard_batch` stitching).
 
-argv: <process_id> <num_processes> <coordinator_port> <outdir>
+Two modes:
+  dp (default): 4-device dp4 mesh, 'data' axis crossing the process boundary
+    — each process holds only its local half of the global batch.
+  tp: 4-device dp2 x tp2 mesh with the 'model' axis crossing the process
+    boundary (cross-host tensor parallelism) — params are sharded across
+    hosts (non-addressable leaves), each host loads the SAME full batch
+    (global_shard_batch's covers-all-data path), the LM train step's
+    Megatron collectives ride the inter-process transport, and checkpoint
+    save allgathers the cross-host shards before the rank-0 write.
+
+argv: <process_id> <num_processes> <coordinator_port> <outdir> [mode]
 """
 
 from __future__ import annotations
@@ -19,6 +29,7 @@ import sys
 def main() -> None:
     pid, nproc = int(sys.argv[1]), int(sys.argv[2])
     port, outdir = sys.argv[3], sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "dp"
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
@@ -49,6 +60,10 @@ def main() -> None:
     from latent_diffusion_speech_tpu.parallel.mesh import build_mesh
     from latent_diffusion_speech_tpu.parallel.multihost import mesh_spans_processes
     from latent_diffusion_speech_tpu.train import DiffusionTrainer
+
+    if mode == "tp":
+        _run_tp(pid, nproc, outdir)
+        return
 
     cfg = Config()
     cfg.parallel = ParallelConfig(data=n_global)
@@ -90,6 +105,76 @@ def main() -> None:
 
     with open(os.path.join(outdir, f"loss_{pid}.json"), "w") as f:
         json.dump({"losses": losses, "n_local": n_local}, f)
+
+
+def _run_tp(pid: int, nproc: int, outdir: str) -> None:
+    """Cross-host tensor parallelism: 'model' axis spans the 2 processes."""
+    import jax
+    import numpy as np
+
+    from latent_diffusion_speech_tpu.config import Config, ParallelConfig
+    from latent_diffusion_speech_tpu.parallel.dist import (
+        is_main_process,
+        sync_global_devices,
+    )
+    from latent_diffusion_speech_tpu.parallel.mesh import build_mesh
+    from latent_diffusion_speech_tpu.parallel.multihost import mesh_spans_processes
+    from latent_diffusion_speech_tpu.train.lm_trainer import LMTrainer
+
+    cfg = Config()
+    m = cfg.text2semantic.model
+    m.type = "llama"
+    m.semantic_kmeans_num = 16
+    d = m.decoder
+    d.hidden_size, d.num_attention_heads = 32, 2
+    d.num_hidden_layers, d.intermediate_size = 2, 48
+    cfg.text2semantic.train.gradient_accumulation_steps = 1
+    cfg.text2semantic.train.expdir = os.path.join(outdir, "exp_tp")
+    cfg.parallel = ParallelConfig(data=2, model=2)
+
+    # jax.devices() orders by process then local id: [p0d0, p0d1, p1d0, p1d1].
+    # build_mesh reshapes (data, seq, model, pipe, expert) in order, so the
+    # interleaving [p0d0, p1d0, p0d1, p1d1] puts PROCESSES along the 'model'
+    # axis and local devices along 'data' — the cross-host-TP layout (on real
+    # pods one would keep TP on ICI; this exercises the DCN-spanning case).
+    devs = jax.devices()
+    assert len(devs) == 4, devs
+    mesh = build_mesh(cfg.parallel, devices=[devs[0], devs[2], devs[1], devs[3]])
+    assert mesh_spans_processes(mesh)
+    model_col = mesh.devices[0, 0, :, 0, 0]
+    assert {d.process_index for d in model_col} == {0, 1}, (
+        "expected the 'model' axis to span both processes"
+    )
+
+    trainer = LMTrainer(cfg, mesh=mesh)
+    # proof of cross-host param sharding: at least one leaf is model-sharded
+    # and therefore not fully addressable from this process
+    sharded = [
+        p for p in jax.tree_util.tree_leaves(trainer.system.params)
+        if isinstance(p, jax.Array) and not p.is_fully_addressable
+        and not p.is_fully_replicated
+    ]
+    assert sharded, "no param leaf spans processes"
+
+    # cross-host TP: every host loads the SAME full global batch
+    rng = np.random.default_rng(0)
+    B, L = 4, 16
+    ids = rng.integers(0, trainer.lm_cfg.vocab_size, (B, L)).astype(np.int32)
+    batch = {"input_ids": ids, "labels": ids.copy(),
+             "attention_mask": np.ones_like(ids)}
+
+    losses = []
+    for step in range(2):
+        device_batch = trainer.device_put_batch(dict(batch))
+        metrics = trainer.train_step(device_batch)
+        losses.append(float(np.asarray(metrics["loss"].addressable_data(0))))
+
+    # save() allgathers cross-host shards on every rank, writes on rank 0
+    trainer.save()
+    sync_global_devices("after-tp-save")
+
+    with open(os.path.join(outdir, f"loss_tp_{pid}.json"), "w") as f:
+        json.dump({"losses": losses}, f)
 
 
 if __name__ == "__main__":

@@ -116,3 +116,82 @@ def test_two_process_dp_matches_single_process(tmp_path):
 
     # cross-process collectives may reassociate reductions: tolerance, not bitwise
     np.testing.assert_allclose(results[0]["losses"], ref_losses, rtol=2e-5)
+
+
+def test_two_process_cross_host_tensor_parallel(tmp_path):
+    """dp2 x tp2 with the 'model' axis SPANNING the two processes: params
+    sharded across hosts, each host feeding the same full batch
+    (global_shard_batch covers-all-data path), Megatron collectives riding
+    the inter-process transport, checkpoint allgather+rank-0 write.
+    Parity vs a single-process run over the same mesh shape (VERDICT r2
+    item 4: multi-host beyond DP)."""
+    port = _free_port()
+    env = _child_env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "_mp_worker.py"),
+             str(pid), "2", str(port), str(tmp_path), "tp"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"tp worker failed:\n{out[-4000:]}"
+
+    results = [json.loads((tmp_path / f"loss_tp_{i}.json").read_text()) for i in range(2)]
+    np.testing.assert_allclose(results[0]["losses"], results[1]["losses"], rtol=0, atol=0)
+    assert all(np.isfinite(results[0]["losses"]))
+
+    # rank-0-gated checkpoint, written from allgathered cross-host shards
+    ckpts = list((tmp_path / "exp_tp").glob("model_*.ckpt"))
+    assert len(ckpts) == 1, ckpts
+
+    # single-process reference: same dp2 x tp2 mesh shape, same batch
+    import jax
+    from latent_diffusion_speech_tpu.config import Config, ParallelConfig
+    from latent_diffusion_speech_tpu.parallel.mesh import build_mesh
+    from latent_diffusion_speech_tpu.train.lm_trainer import LMTrainer
+
+    cfg = Config()
+    m = cfg.text2semantic.model
+    m.type = "llama"
+    m.semantic_kmeans_num = 16
+    d = m.decoder
+    d.hidden_size, d.num_attention_heads = 32, 2
+    d.num_hidden_layers, d.intermediate_size = 2, 48
+    cfg.text2semantic.train.gradient_accumulation_steps = 1
+    cfg.parallel = ParallelConfig(data=2, model=2)
+    trainer = LMTrainer(cfg, mesh=build_mesh(cfg.parallel, devices=jax.devices()[:4]))
+
+    rng = np.random.default_rng(0)
+    B, L = 4, 16
+    ids = rng.integers(0, trainer.lm_cfg.vocab_size, (B, L)).astype(np.int32)
+    batch = {"input_ids": ids, "labels": ids.copy(), "attention_mask": np.ones_like(ids)}
+    ref_losses = [
+        float(trainer.train_step(trainer.device_put_batch(dict(batch)))["loss"])
+        for _ in range(2)
+    ]
+    np.testing.assert_allclose(results[0]["losses"], ref_losses, rtol=2e-5)
+
+    # the checkpoint loads into a fresh single-process trainer (the gathered
+    # global params round-trip)
+    cfg2 = Config()
+    m2 = cfg2.text2semantic.model
+    m2.type = "llama"
+    m2.semantic_kmeans_num = 16
+    d2 = m2.decoder
+    d2.hidden_size, d2.num_attention_heads = 32, 2
+    d2.num_hidden_layers, d2.intermediate_size = 2, 48
+    cfg2.text2semantic.train.expdir = str(tmp_path / "exp_tp")
+    fresh = LMTrainer(cfg2, mesh=build_mesh(ParallelConfig(data=4), devices=jax.devices()[:4]))
+    assert fresh.resume()
+    assert fresh.step == 2
