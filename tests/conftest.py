@@ -40,7 +40,7 @@ def rng():
 _SLOW_MODULES = {
     "test_tensor_parallel", "test_codec_trainer", "test_train", "test_cli",
     "test_e2e", "test_hubert", "test_lora", "test_unit2mel_import",
-    "test_reference_migration", "test_w2vbert", "test_wav2vec2",
+    "test_reference_migration", "test_verify_import", "test_w2vbert", "test_wav2vec2",
     "test_discriminators", "test_lm", "test_diffusion", "test_bert_text_mode",
     "test_whisper_units", "test_vaegan", "test_fast_batch",
     # interpret-mode Pallas UNet parity suites: minutes each on CPU
