@@ -34,7 +34,7 @@ _KATAKANA_ROMAJI = {
     "マ": "m a", "ミ": "m i", "ム": "m u", "メ": "m e", "モ": "m o",
     "ヤ": "y a", "ユ": "y u", "ヨ": "y o",
     "ラ": "r a", "リ": "r i", "ル": "r u", "レ": "r e", "ロ": "r o",
-    "ワ": "w a", "ヲ": "o", "ン": "N", "ッ": "cl", "ー": "",
+    "ワ": "w a", "ヲ": "o", "ン": "N", "ッ": "cl",  # ー handled positionally
     # yoon digraph second elements handled in _kana_to_phones
     "キャ": "ky a", "キュ": "ky u", "キョ": "ky o",
     "ギャ": "gy a", "ギュ": "gy u", "ギョ": "gy o",
@@ -72,7 +72,11 @@ def _kana_to_phones(text: str) -> List[str]:
             i += 2
             continue
         ch = kata[i]
-        if ch in _KATAKANA_ROMAJI:
+        if ch == "ー":
+            # chouonpu lengthens the previous vowel (openjtalk: doubled vowel)
+            if phones and phones[-1] in "aiueo":
+                phones.append(phones[-1])
+        elif ch in _KATAKANA_ROMAJI:
             mapped = _KATAKANA_ROMAJI[ch]
             if mapped:
                 phones += mapped.split()
@@ -89,15 +93,44 @@ def text_normalize(text: str) -> str:
 from functools import lru_cache
 
 
+# conjugation continuations per dropped dictionary-form final: a stem match
+# is accepted only when the NEXT hiragana is a plausible inflection for the
+# verb class (so 会う's stem 会/あ fires for 会って but not for 展覧会です,
+# where the per-char かい is right).  る unions godan and ichidan sets —
+# okurigana alone cannot separate 帰る(godan) from 起きる(ichidan).
+_STEM_NEXT = {
+    "う": set("わいうえおっ"),
+    "く": set("かきくけこい"),
+    "ぐ": set("がぎぐげごい"),
+    "す": set("さしすせそ"),
+    "つ": set("たちつてとっ"),
+    "ぬ": set("なにぬねのん"),
+    "ぶ": set("ばびぶべぼん"),
+    "む": set("まみむめもん"),
+    "る": set("らりるれろっ" "てたまなよずざ"),
+    "い": set("くかけさそ"),
+}
+
+
 @lru_cache(maxsize=1)
-def _kanji_table() -> dict:
-    """Vendored kanji -> kana readings (word entries + per-char fallbacks);
-    used only when pyopenjtalk is absent. Approximate by design — no
-    morphological analysis — but keeps raw-kanji input functional offline."""
+def _kanji_table() -> tuple:
+    """Vendored kanji -> kana readings; used only when pyopenjtalk is absent.
+    Approximate by design — no morphological analysis — but keeps raw-kanji
+    input functional offline.
+
+    Returns (words, stems).  Two derived layers on top of the file:
+    * duplicate keys keep the FIRST (word-section) reading — the per-char
+      counter section lists e.g. 頭 とう, but standalone prose wants あたま;
+    * every conjugable entry (okurigana dictionary form: …る/う/く/…/い)
+      also registers its stem (key and reading minus the shared final kana)
+      in `stems`, mapping stem -> (reading, allowed_next): 起きる->起き
+      covers 起きて/起きた/起きます, 強い->強 covers 強くて, 働く->働
+      covers 働いて.  来る is skipped (irregular: 来て is き, not く)."""
     from latent_diffusion_speech_tpu.text.data_files import find_data_file
 
     path = find_data_file("kanji_table.txt")
     table: dict = {}
+    stems: dict = {}
     if path is not None:
         for line in path.read_text(encoding="utf-8").splitlines():
             line = line.strip()
@@ -105,13 +138,70 @@ def _kanji_table() -> dict:
                 continue
             parts = line.split()
             if len(parts) == 2:
-                table[parts[0]] = parts[1]
-    return table
+                table.setdefault(parts[0], parts[1])
+        for key, reading in table.items():
+            if (
+                len(key) >= 2
+                and key != "来る"
+                and key[-1] in _STEM_NEXT
+                and key[-1] == reading[-1:]
+            ):
+                stems.setdefault(key[:-1], (reading[:-1], _STEM_NEXT[key[-1]]))
+    return table, stems
+
+
+_O_ROW = set("おこごそぞとどのほぼぽもよろょを")
+_E_ROW = set("えけげせぜてでねへべぺめれ")
+
+
+def _long_vowelize(key: str, reading: str) -> str:
+    """openjtalk writes long vowels as doubled vowels: within one word,
+    o-row+う and e-row+い are long (きょう -> きょー -> ky o o, せんせい ->
+    せんせー -> s e N s e e).  A final う/い that is okurigana in the key
+    (dictionary-form verbs/adjectives: 思う, 優しい) is a real mora and
+    stays literal."""
+    out: List[str] = []
+    n = len(reading)
+    protect_final = reading[-1:] in "うい" and key[-1:] == reading[-1:]
+    for i, c in enumerate(reading):
+        prev = reading[i - 1] if i else ""
+        if c == "う" and prev in _O_ROW and not (protect_final and i == n - 1):
+            out.append("ー")
+        elif c == "い" and prev in _E_ROW and not (protect_final and i == n - 1):
+            out.append("ー")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _is_kanji(c: str) -> bool:
+    return "一" <= c <= "鿿" or c == "々"
+
+
+def _is_word_char(c: str) -> bool:
+    return _is_kanji(c) or "ァ" <= c <= "ヶ"
+
+
+def _particles(text: str) -> str:
+    """Pronounce the topic/direction particles は->わ, へ->え.  Without
+    morphology the heuristic is: a は/へ directly AFTER a word character
+    (kanji/katakana) is a particle — okurigana never starts with は/へ in
+    common vocabulary, so the false-positive surface is negligible; は/へ
+    inside or after a hiragana word (では/とは…) is never touched."""
+    out = list(text)
+    for i, c in enumerate(text):
+        if c in "はへ" and i > 0 and _is_word_char(text[i - 1]):
+            out[i] = "わ" if c == "は" else "え"
+    return "".join(out)
 
 
 def _kanji_to_kana(text: str) -> str:
-    """Longest-match replacement of kanji(-containing) spans with kana."""
-    table = _kanji_table()
+    """Longest-match replacement of kanji(-containing) spans with kana.
+    At each position, a full word entry wins; otherwise a conjugation stem
+    fires when the following character is a plausible inflection for its
+    verb/adjective class (see _STEM_NEXT)."""
+    table, stems = _kanji_table()
+    text = _particles(text)
     out: List[str] = []
     i = 0
     n = len(text)
@@ -119,8 +209,23 @@ def _kanji_to_kana(text: str) -> str:
         matched = False
         for j in range(min(n, i + 6), i, -1):
             sub = text[i:j]
-            if sub in table and (j - i > 1 or "一" <= sub <= "鿿"):
-                out.append(table[sub])
+            # multi-char word entries are curated — they win outright; at
+            # single-char length the context-gated stem (we can SEE a valid
+            # inflection following) beats the per-char fallback reading
+            if j - i > 1 and sub in table:
+                out.append(_long_vowelize(sub, table[sub]))
+                i = j
+                matched = True
+                break
+            if sub in stems and j < n and _is_kanji(sub[0]):
+                reading, allowed = stems[sub]
+                if text[j] in allowed:
+                    out.append(reading)
+                    i = j
+                    matched = True
+                    break
+            if j - i == 1 and sub in table and "一" <= sub <= "鿿":
+                out.append(_long_vowelize(sub, table[sub]))
                 i = j
                 matched = True
                 break

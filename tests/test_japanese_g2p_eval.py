@@ -1,0 +1,46 @@
+"""JA G2P quality floor (VERDICT r2 item 9).
+
+`benchmarks/ja_g2p_eval.py` measures the native kanji-table fallback against
+pyopenjtalk-convention goldens (`tests/data/ja_g2p_golden.tsv`).  Measured
+2026-08-19: dev 0.998 (50 sentences, iterated on while building the stem/
+particle/long-vowel mechanisms), heldout 0.881 (15 sentences written after
+tuning, evaluated once — the honest generalization number; its misses are
+per-char-fallback vocabulary coverage, not mechanism).  These tests pin
+regression floors slightly below the measured values."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "benchmarks"))
+
+from ja_g2p_eval import eval_split, load_fixture, native_phones  # noqa: E402
+
+
+def test_dev_accuracy_floor():
+    r = eval_split(load_fixture()["dev"])
+    assert r["sentences"] == 50
+    assert r["phone_accuracy"] >= 0.97, r
+
+
+def test_heldout_accuracy_floor():
+    r = eval_split(load_fixture()["heldout"])
+    assert r["sentences"] == 15
+    assert r["phone_accuracy"] >= 0.85, r
+
+
+def test_mechanisms():
+    # conjugation-stem matching with context gating
+    assert native_phones("起きて") == "o k i t e".split()
+    assert native_phones("強くて") == "ts u y o k u t e".split()
+    # the stem must NOT fire outside a conjugation context (展覧会 unknown
+    # compound: 会 falls back per-char, not to 会う's stem あ)
+    assert "a i" != " ".join(native_phones("会です")).split("d")[0].strip()
+    # topic particle after a word char; untouched inside hiragana words
+    assert native_phones("私は") == "w a t a sh i w a".split()
+    assert native_phones("はい") == "h a i".split()
+    # long vowels: table readings vowelize (きょう -> ky o o), okurigana-final
+    # う of a dictionary-form verb stays a real mora
+    assert native_phones("今日") == "ky o o".split()
+    assert native_phones("思う") == "o m o u".split()
+    # chouonpu repeats the previous vowel
+    assert native_phones("コーヒー") == "k o o h i i".split()

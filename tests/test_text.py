@@ -327,7 +327,10 @@ class TestJapaneseKanjiFallback:
     def test_kanji_to_kana(self):
         from latent_diffusion_speech_tpu.text.japanese import _kanji_to_kana
 
-        assert _kanji_to_kana("今日は天気がいい") == "きょうはてんきがいい"
+        # phonetic kana: table readings vowelize long vowels (きょう -> きょー
+        # -> ky o o, the openjtalk convention) and the topic particle は
+        # after a word character is pronounced わ
+        assert _kanji_to_kana("今日は天気がいい") == "きょーわてんきがいい"
         assert _kanji_to_kana("日本語") == "にほんご"
 
     def test_kanji_g2p_end_to_end(self):
