@@ -87,6 +87,7 @@ def make_handler(tts_server, timeout_s: float = 300.0, auth_token: str | None = 
                         "ok": True,
                         "requests_served": tts_server.requests_served,
                         "requests_failed": tts_server.requests_failed,
+                        "requests_rejected": tts_server.requests_rejected,
                         "batches_served": tts_server.batches_served,
                         "queue_depth": tts_server.queue_depth(),
                         "uptime_s": round(time.monotonic() - started, 3),
@@ -99,6 +100,8 @@ def make_handler(tts_server, timeout_s: float = 300.0, auth_token: str | None = 
                         f"tts_requests_served_total {tts_server.requests_served}",
                         "# TYPE tts_requests_failed_total counter",
                         f"tts_requests_failed_total {tts_server.requests_failed}",
+                        "# TYPE tts_requests_rejected_total counter",
+                        f"tts_requests_rejected_total {tts_server.requests_rejected}",
                         "# TYPE tts_batches_served_total counter",
                         f"tts_batches_served_total {tts_server.batches_served}",
                         "# TYPE tts_batch_seconds_total counter",
@@ -154,15 +157,15 @@ def make_handler(tts_server, timeout_s: float = 300.0, auth_token: str | None = 
             pieces = split_sentences(p["text"], max_chars=p["max_chars"]) or [p["text"]]
             # every piece goes through the batching server, so a long text's
             # pieces coalesce into batched device calls together with any
-            # concurrent requests
-            return [
-                tts_server.submit(
-                    piece, language=p["language"], spk_id=p["spk_id"], seed=p["seed"] + i
-                )
-                for i, piece in enumerate(pieces)
-            ]
+            # concurrent requests; admission is atomic — all pieces or 429
+            return tts_server.submit_many(
+                pieces, language=p["language"],
+                spk_ids=[p["spk_id"]] * len(pieces), seed=p["seed"],
+            )
 
         def do_POST(self):
+            from latent_diffusion_speech_tpu.infer.server import ServerOverloaded
+
             if self.path not in ("/tts", "/tts/stream"):
                 self._drain_body()
                 self._json(404, {"error": "unknown path"})
@@ -176,14 +179,26 @@ def make_handler(tts_server, timeout_s: float = 300.0, auth_token: str | None = 
             except (ValueError, KeyError, TypeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
-            if self.path == "/tts/stream":
-                self._stream_tts(p)
-            else:
-                self._whole_tts(p)
-
-        def _whole_tts(self, p):
             try:
                 futs = self._submit_pieces(p)
+            except ServerOverloaded as e:
+                # backpressure: the admission queue is full — tell the client
+                # to retry after roughly one batching window + one batch time
+                self.send_response(429)
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if self.path == "/tts/stream":
+                self._stream_tts(p, futs)
+            else:
+                self._whole_tts(p, futs)
+
+        def _whole_tts(self, p, futs):
+            try:
                 results = [f.result(timeout=timeout_s) for f in futs]
                 sr = results[0][1]
                 if len(results) == 1:
@@ -212,9 +227,8 @@ def make_handler(tts_server, timeout_s: float = 300.0, auth_token: str | None = 
             if data:
                 self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
 
-        def _stream_tts(self, p):
+        def _stream_tts(self, p, futs):
             try:
-                futs = self._submit_pieces(p)
                 # sample rate comes with the first result, so the header
                 # waits for it — time-to-first-audio is one piece either way
                 first_wav, sr = futs[0].result(timeout=timeout_s)
@@ -252,6 +266,8 @@ def main():
     p.add_argument("--lm-model", type=str, default=None, help="LM checkpoint path")
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=30.0)
+    p.add_argument("--max-queue", type=int, default=64,
+                   help="reject (HTTP 429) past this many queued pieces; 0 = unbounded")
     p.add_argument("--speedup", type=int, default=None)
     p.add_argument("--method", type=str, default=None)
     p.add_argument("--weight-quant", type=str, default=None, choices=["int8"],
@@ -278,6 +294,7 @@ def main():
         max_wait_ms=args.max_wait_ms,
         method=args.method or cfg.common.infer.method,
         infer_speedup=args.speedup or cfg.common.infer.speedup,
+        max_queue=args.max_queue,
     ) as server:
         httpd = ThreadingHTTPServer(
             (args.host, args.port), make_handler(server, auth_token=args.auth_token)

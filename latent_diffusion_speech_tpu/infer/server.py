@@ -21,7 +21,21 @@ from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Optional
 
-__all__ = ["TTSServer", "TTSRequest"]
+__all__ = ["TTSServer", "TTSRequest", "ServerOverloaded"]
+
+
+class ServerOverloaded(RuntimeError):
+    """Raised by submit()/submit_many() when the admission queue is full.
+
+    Typed so transports can map it to backpressure (HTTP 429) instead of a
+    generic failure; carries the depth that triggered the rejection."""
+
+    def __init__(self, depth: int, max_queue: int):
+        super().__init__(
+            f"server overloaded: {depth} requests queued (max_queue={max_queue})"
+        )
+        self.depth = depth
+        self.max_queue = max_queue
 
 
 @dataclass
@@ -42,6 +56,7 @@ class TTSServer:
         method: str = "dpm-solver",
         infer_speedup: int = 50,
         max_length: int = 1024,
+        max_queue: int = 0,
     ):
         self.pipeline = pipeline
         self.max_batch = max_batch
@@ -49,6 +64,8 @@ class TTSServer:
         self.method = method
         self.infer_speedup = infer_speedup
         self.max_length = max_length
+        # backpressure: reject admissions past this queue depth (0 = unbounded)
+        self.max_queue = max_queue
         self._queue: "queue.Queue[Optional[TTSRequest]]" = queue.Queue()
         self._pending: Optional[TTSRequest] = None  # dispatch-thread only
         self._closed = False
@@ -56,6 +73,7 @@ class TTSServer:
         self.batches_served = 0
         self.requests_served = 0
         self.requests_failed = 0
+        self.requests_rejected = 0
         self.batch_seconds_total = 0.0  # wall time spent inside tts_batch
         self.audio_seconds_served = 0.0
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -65,16 +83,36 @@ class TTSServer:
 
     def submit(self, text: str, language: str = "ZH", spk_id: int = 1,
                seed: int = 0) -> Future:
-        """Enqueue a request; the future resolves to (waveform, sample_rate)."""
-        req = TTSRequest(text, language, spk_id, seed)
+        """Enqueue a request; the future resolves to (waveform, sample_rate).
+        Raises ServerOverloaded when the queue is at max_queue depth."""
+        return self.submit_many([text], language=language, spk_ids=[spk_id],
+                                seed=seed)[0]
+
+    def submit_many(self, texts, language: str = "ZH", spk_ids=None,
+                    seed: int = 0) -> "list[Future]":
+        """Atomically admit a group of requests (e.g. a long text's sentence
+        pieces): either ALL are queued or ServerOverloaded is raised and NONE
+        are — a partial admit would synthesize audio the caller, having seen
+        the rejection, will never collect.  Piece i gets seed+i so unlike
+        seeds keep dispatching separately (see _collect)."""
+        spk_ids = spk_ids if spk_ids is not None else [1] * len(texts)
+        reqs = [
+            TTSRequest(t, language, s, seed + i)
+            for i, (t, s) in enumerate(zip(texts, spk_ids))
+        ]
         with self._lifecycle:
             # under the lock, either the sentinel is not yet queued (the
-            # dispatcher will see this request before it) or we raise —
+            # dispatcher will see these requests before it) or we raise —
             # a future returned by submit() always resolves
             if self._closed:
                 raise RuntimeError("server is closed")
-            self._queue.put(req)
-        return req.future
+            depth = self.queue_depth()
+            if self.max_queue and depth + len(reqs) > self.max_queue:
+                self.requests_rejected += len(reqs)
+                raise ServerOverloaded(depth, self.max_queue)
+            for req in reqs:
+                self._queue.put(req)
+        return [r.future for r in reqs]
 
     def queue_depth(self) -> int:
         """Requests submitted but not yet dispatched (approximate)."""

@@ -251,6 +251,7 @@ class TTSPipeline:
         end_gate_threshold: Optional[float] = None,
         seed: int = 0,
         phone_bucket: int = 16,
+        batch_bucket: bool = True,
     ):
         """Batched serve: N texts -> list of (waveform, sample_rate).
 
@@ -259,18 +260,29 @@ class TTSPipeline:
         grouped by latent-length bucket and diffusion+vocoder run ONCE per
         bucket (batched: one compiled call, B items), each item edge-padded to
         the bucket and cropped back on host.  Throughput path for production
-        serving (the B=1 `tts` is the latency path)."""
+        serving (the B=1 `tts` is the latency path).
+
+        `batch_bucket` additionally pads the BATCH dimension to the next power
+        of two (rows replicate row 0; pad outputs are dropped).  A dynamic
+        batcher otherwise presents every batch size 1..max_batch as a distinct
+        XLA program — on TPU each is a fresh compile (tens of seconds through
+        a remote-compile relay), so under mixed load the first b=3 batch would
+        stall the whole queue.  Bucketing bounds the program count at
+        log2(max_batch)+1 per length bucket for a <=2x padded-compute cost."""
         assert self.lm is not None and self.codebook is not None
         B = len(texts)
         seqs = [self.text_to_phones(t, language) for t in texts]
         L = max(len(p) for p, _ in seqs)
         L = max(phone_bucket, ((L + phone_bucket - 1) // phone_bucket) * phone_bucket)
         pad_id = self.lm.cfg.phone_pad
-        phones = np.full((B, L), pad_id, np.int32)
-        tones = np.zeros((B, L), np.int32)
-        enc_mask = np.zeros((B, L), np.int32)
+        B_pad = (1 << (B - 1).bit_length()) if batch_bucket and B > 0 else B
+        phones = np.full((B_pad, L), pad_id, np.int32)
+        tones = np.zeros((B_pad, L), np.int32)
+        enc_mask = np.zeros((B_pad, L), np.int32)
         spk = np.asarray(spk_ids if spk_ids is not None else [1] * B, np.int32)
-        for b, (p, t) in enumerate(seqs):
+        spk = np.concatenate([spk, np.repeat(spk[:1], B_pad - B)])
+        for b in range(B_pad):
+            p, t = seqs[b] if b < B else seqs[0]  # pad rows replicate row 0
             phones[b, : len(p)] = p
             tones[b, : len(t)] = t
             enc_mask[b, : len(p)] = 1
@@ -284,8 +296,8 @@ class TTSPipeline:
             max_length=max_length, top_k=top_k,
             end_gate_threshold=end_gate_threshold, rng=r1, impl=self.lm_impl,
         )
-        tokens_np = np.asarray(tokens)
-        lengths_np = np.asarray(lengths)
+        tokens_np = np.asarray(tokens)[:B]
+        lengths_np = np.asarray(lengths)[:B]
         K = self.lm.cfg.semantic_kmeans_num
         sr = self.vocoder.vocoder_sample_rate
         hop = self.vocoder.vocoder_hop_size
@@ -304,16 +316,21 @@ class TTSPipeline:
             buckets.setdefault(_bucket(len(toks)), []).append((b, toks))
 
         for Lb, items in sorted(buckets.items()):
-            units = np.empty((len(items), Lb, centroids.shape[1]), np.float32)
-            for j, (_, toks) in enumerate(items):
+            n = len(items)
+            n_pad = (1 << (n - 1).bit_length()) if batch_bucket else n
+            units = np.empty((n_pad, Lb, centroids.shape[1]), np.float32)
+            for j in range(n_pad):
+                _, toks = items[j] if j < n else items[0]  # pad rows replicate
                 emb = centroids[toks]
                 units[j, : len(toks)] = emb
                 units[j, len(toks):] = emb[-1]  # edge-pad to the bucket
+            spk_rows = [int(spk[b]) for b, _ in items]
+            spk_rows += [spk_rows[0]] * (n_pad - n)
             r2, sub = jax.random.split(r2)
             wavs = np.asarray(
                 self.infer(
                     jnp.asarray(units),
-                    spk_id=np.asarray([int(spk[b]) for b, _ in items], np.int32),
+                    spk_id=np.asarray(spk_rows, np.int32),
                     method=method, infer_speedup=infer_speedup, rng=sub,
                 )
             )

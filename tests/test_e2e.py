@@ -153,6 +153,47 @@ class TestBatchedTTS:
         ((padded_T, T, B, method, speedup),) = new
         assert B == 2 and padded_T == T and method == "ddim"
 
+    def test_tts_batch_pads_batch_to_pow2(self, pipeline, monkeypatch, rng):
+        """batch_bucket pads B=3 to 4 everywhere (LM decode + diffusion
+        buckets), so a dynamic batcher's varying batch sizes hit a bounded
+        set of compiled programs; pad outputs are dropped."""
+        import jax
+
+        def fake_phones(self, text, language="ZH"):
+            r = np.random.default_rng(len(text))
+            return r.integers(1, 50, 4).astype(np.int32), r.integers(0, 6, 4).astype(np.int32)
+
+        monkeypatch.setattr(type(pipeline), "text_to_phones", fake_phones)
+        gen_batch_sizes = []
+        real_generate = type(pipeline.lm).generate
+
+        def spy_generate(self, phones, *a, **kw):
+            gen_batch_sizes.append(int(phones.shape[0]))
+            return real_generate(self, phones, *a, **kw)
+
+        monkeypatch.setattr(type(pipeline.lm), "generate", spy_generate)
+        before = set(pipeline._infer_cache)
+        outs = pipeline.tts_batch(
+            ["a", "bb", "ccc"], spk_ids=[1, 2, 3],
+            method="ddim", infer_speedup=25, max_length=8,
+        )
+        assert gen_batch_sizes == [4]  # LM ran at the padded batch
+        assert len(outs) == 3
+        for wav, sr in outs:
+            assert sr == 8000 and np.isfinite(wav).all() and len(wav) > 0
+        # the diffusion bucket also ran padded to 4
+        new = set(pipeline._infer_cache) - before
+        assert {b for (_, _, b, _, _) in new} == {4}
+
+        # opting out keeps exact batch sizes
+        gen_batch_sizes.clear()
+        outs = pipeline.tts_batch(
+            ["a", "bb", "ccc"], spk_ids=[1, 2, 3],
+            method="ddim", infer_speedup=25, max_length=8, batch_bucket=False,
+        )
+        assert gen_batch_sizes == [3]
+        assert len(outs) == 3
+
     def test_tts_batch_crops_per_item(self, pipeline, monkeypatch, rng):
         """Each item's waveform is cropped to its own token count * hop."""
         import jax

@@ -116,6 +116,113 @@ def test_server_close_drains_queue():
         assert len(wav) > 0
 
 
+class BlockingPipeline:
+    """Every tts_batch call blocks on `gate`; `started` fires on entry."""
+
+    def __init__(self):
+        self.gate = threading.Event()
+        self.started = threading.Event()
+
+    def tts_batch(self, texts, language="ZH", spk_ids=None, method="x",
+                  infer_speedup=1, max_length=8, seed=0):
+        self.started.set()
+        assert self.gate.wait(timeout=30)
+        return [(np.full(32 + len(t), 0.1, np.float32), 8000) for t in texts]
+
+
+class TestBackpressure:
+    def test_submit_rejects_past_max_queue(self):
+        from latent_diffusion_speech_tpu.infer.server import ServerOverloaded
+
+        pipe = BlockingPipeline()
+        server = TTSServer(pipe, max_batch=1, max_wait_ms=0, max_queue=2)
+        try:
+            f1 = server.submit("inflight")
+            assert pipe.started.wait(timeout=30)  # dispatcher holds f1's batch
+            f2 = server.submit("q1")
+            f3 = server.submit("q2")
+            with pytest.raises(ServerOverloaded, match="overloaded"):
+                server.submit("q3")
+            assert server.requests_rejected == 1
+        finally:
+            pipe.gate.set()
+            server.close()
+        # everything admitted was served despite the rejection
+        for f in (f1, f2, f3):
+            wav, sr = f.result(timeout=1)
+            assert sr == 8000
+
+    def test_submit_many_is_all_or_nothing(self):
+        """A long text's pieces must not partially admit: a rejected caller
+        never collects, so partial admission would synthesize dead audio."""
+        from latent_diffusion_speech_tpu.infer.server import ServerOverloaded
+
+        pipe = BlockingPipeline()
+        server = TTSServer(pipe, max_batch=1, max_wait_ms=0, max_queue=3)
+        try:
+            server.submit("inflight")
+            assert pipe.started.wait(timeout=30)
+            server.submit("q1")  # depth 1
+            with pytest.raises(ServerOverloaded):
+                server.submit_many(["p1", "p2", "p3"])  # 1 + 3 > 3
+            assert server.queue_depth() == 1  # nothing from the group queued
+            assert server.requests_rejected == 3
+            # a group that fits is admitted whole
+            futs = server.submit_many(["p1", "p2"])
+            assert len(futs) == 2 and server.queue_depth() == 3
+        finally:
+            pipe.gate.set()
+            server.close()
+
+    def test_http_429_with_retry_after_and_metrics(self):
+        import json
+        import urllib.error
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+
+        from latent_diffusion_speech_tpu.cli.serve import make_handler
+
+        pipe = BlockingPipeline()
+        server = TTSServer(pipe, max_batch=1, max_wait_ms=0, max_queue=1)
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            server.submit("inflight")
+            assert pipe.started.wait(timeout=30)
+            server.submit("fills-the-queue")
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/tts",
+                data=json.dumps({"text": "overload"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                raise AssertionError("expected 429")
+            except urllib.error.HTTPError as e:
+                assert e.code == 429
+                assert e.headers["Retry-After"] == "1"
+                assert "overloaded" in json.loads(e.read())["error"]
+            pipe.gate.set()
+            # once drained, the same request is admitted and served
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                assert resp.status == 200
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=30
+            ) as resp:
+                text = resp.read().decode()
+            metrics = {
+                line.split()[0]: float(line.split()[1])
+                for line in text.splitlines()
+                if line and not line.startswith("#")
+            }
+            assert metrics["tts_requests_rejected_total"] == 1
+        finally:
+            pipe.gate.set()
+            httpd.shutdown()
+            server.close()
+
+
 class TestHTTPEndpoint:
     def test_http_tts_and_healthz(self):
         import io
