@@ -46,6 +46,9 @@ def build_pipeline(cfg, diffusion_ckpt=None, lm_ckpt=None, dtype=None):
         n_heads=cfg.diffusion.model.n_heads,
         n_hidden=cfg.diffusion.model.n_hidden,
         acoustic_scale=cfg.data.acoustic_scale,
+        conv_impl=cfg.diffusion.model.conv_impl,
+        attn_impl=cfg.diffusion.model.attn_impl,
+        gelu=cfg.diffusion.model.gelu,
     )
     diffusion = Unit2MelSystem(
         model_cfg, dtype=dtype,

@@ -111,6 +111,12 @@ class DiffusionModelConfig:
     # UNet conv lowering: 'xla' (conv_general_dilated) or 'matmul' (shifted
     # matmuls — fwd AND bwd become dot_generals; perf knob, same numerics)
     conv_impl: str = "xla"
+    # UNet attention: 'xla' (einsum — measured at its traffic floor here) or
+    # 'fused' (opt-in Pallas single-block kernel; loses at these shapes)
+    attn_impl: str = "xla"
+    # GEGLU gelu: 'exact' (erf, parity default) | 'tanh' (approximation with
+    # error below bf16 resolution; measured mixed — TRAIN_STEP_AB.json)
+    gelu: str = "exact"
 
 
 @dataclass

@@ -85,6 +85,9 @@ def load_reference_pipeline(
         n_heads=cfg.diffusion.model.n_heads,
         n_hidden=cfg.diffusion.model.n_hidden,
         acoustic_scale=cfg.data.acoustic_scale,
+        conv_impl=cfg.diffusion.model.conv_impl,
+        attn_impl=cfg.diffusion.model.attn_impl,
+        gelu=cfg.diffusion.model.gelu,
     )
     state = torch.load(diffusion_ckpt, map_location="cpu", weights_only=False)["model"]
     diffusion = Unit2MelSystem(

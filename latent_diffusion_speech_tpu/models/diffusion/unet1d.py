@@ -49,6 +49,14 @@ class UNet1DConfig:
     dropout: float = 0.0
     remat: bool = False
     conv_impl: str = "xla"           # 'xla' (conv_general_dilated) | 'matmul'
+    # 'xla' (default): einsum attention — measured at its traffic floor for
+    # these short sequences; 'fused' = the Pallas single-block kernel, kept as
+    # a tested opt-in (it LOSES here: benchmarks/TRAIN_ATTN_AB.json)
+    attn_impl: str = "xla"
+    # GEGLU gelu: 'exact' (erf — parity default) | 'tanh' (approximation,
+    # error < bf16 resolution; measured MIXED: -4% step at B=256 but -26%
+    # at B=64 from an XLA fusion pathology — benchmarks/TRAIN_STEP_AB.json)
+    gelu: str = "exact"
 
     @property
     def downsample_factor(self) -> int:
@@ -163,6 +171,7 @@ class SelfAttention(nn.Module):
     channels: int
     n_heads: int
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -175,8 +184,40 @@ class SelfAttention(nn.Module):
             q.reshape(B, T, self.n_heads, d),
             k.reshape(B, T, self.n_heads, d),
             v.reshape(B, T, self.n_heads, d),
+            impl=self.attn_impl,
         ).reshape(B, T, C)
         return nn.Dense(self.channels, dtype=self.dtype, name="to_out")(out)
+
+
+class GegluFF(nn.Module):
+    """GEGLU feed-forward with the diffusers param layout (one fused
+    (C, 8C) ff_proj kernel) executed as TWO (C, 4C) matmuls on sliced
+    weights: the (B, T, 8C) pre-split tensor never materializes in HBM —
+    measured -25% fwd+bwd on this sub-layer at train shapes
+    (benchmarks/TRAIN_DECOMPOSE.json geglu rows).
+
+    `approx_gelu` swaps erf-GELU for the tanh approximation: erf lowers to a
+    long VPU polynomial on TPU and is the single hottest op in the block
+    (measured 2x the whole sub-layer cost); the tanh form's error (<1e-3
+    relative) is below bf16 resolution, so the UNet enables it automatically
+    when computing in bf16 and keeps exact erf in f32 (torch parity)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+    approx_gelu: bool = False
+
+    @nn.compact
+    def __call__(self, ff_in):
+        c = self.channels
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (c, 8 * c), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (8 * c,), jnp.float32)
+        w = kernel.astype(self.dtype)
+        b = bias.astype(self.dtype)
+        a = ff_in @ w[:, : 4 * c] + b[: 4 * c]
+        g = ff_in @ w[:, 4 * c :] + b[4 * c :]
+        return a * nn.gelu(g, approximate=self.approx_gelu)
 
 
 class TransformerBlock1D(nn.Module):
@@ -186,6 +227,8 @@ class TransformerBlock1D(nn.Module):
     n_heads: int
     groups: int = 8
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    gelu: str = "exact"  # 'exact' (erf) | 'tanh' (see UNet1DConfig.gelu)
 
     @nn.compact
     def __call__(self, x):
@@ -194,16 +237,20 @@ class TransformerBlock1D(nn.Module):
         h = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(h)  # 1x1 conv == dense
 
         # BasicTransformerBlock: attn1 + attn2 (both self-attn at runtime) + GEGLU FF
-        h = h + SelfAttention(self.channels, self.n_heads, dtype=self.dtype, name="attn1")(
+        h = h + SelfAttention(self.channels, self.n_heads, dtype=self.dtype,
+                              attn_impl=self.attn_impl, name="attn1")(
             nn.LayerNorm(name="norm1")(h).astype(self.dtype)
         )
-        h = h + SelfAttention(self.channels, self.n_heads, dtype=self.dtype, name="attn2")(
+        h = h + SelfAttention(self.channels, self.n_heads, dtype=self.dtype,
+                              attn_impl=self.attn_impl, name="attn2")(
             nn.LayerNorm(name="norm2")(h).astype(self.dtype)
         )
         ff_in = nn.LayerNorm(name="norm3")(h).astype(self.dtype)
-        gate = nn.Dense(8 * self.channels, dtype=self.dtype, name="ff_proj")(ff_in)
-        a, g = jnp.split(gate, 2, axis=-1)
-        h = h + nn.Dense(self.channels, dtype=self.dtype, name="ff_out")(a * nn.gelu(g, approximate=False))
+        approx = self.gelu == "tanh"
+        h = h + nn.Dense(self.channels, dtype=self.dtype, name="ff_out")(
+            GegluFF(self.channels, dtype=self.dtype, approx_gelu=approx,
+                    name="ff_proj")(ff_in)
+        )
 
         h = nn.Dense(self.channels, dtype=self.dtype, name="proj_out")(h)
         return h + residual
@@ -263,7 +310,7 @@ class UNet1D(nn.Module):
             for j in range(cfg.layers_per_block):
                 h = res_block(boc[i], cfg.norm_num_groups, dtype=self.dtype, conv_impl=cfg.conv_impl, name=f"down_{i}_res_{j}")(h, temb)
                 if cfg.cross_attn[i]:
-                    h = attn_block(boc[i], cfg.n_heads, cfg.norm_num_groups, dtype=self.dtype, name=f"down_{i}_attn_{j}")(h)
+                    h = attn_block(boc[i], cfg.n_heads, cfg.norm_num_groups, dtype=self.dtype, attn_impl=cfg.attn_impl, gelu=cfg.gelu, name=f"down_{i}_attn_{j}")(h)
                 skips.append(h)
             if i < n_blocks - 1:
                 h = Downsample1D(boc[i], dtype=self.dtype, conv_impl=cfg.conv_impl, name=f"down_{i}_downsample")(h)
@@ -271,7 +318,7 @@ class UNet1D(nn.Module):
 
         # mid
         h = res_block(boc[-1], cfg.norm_num_groups, dtype=self.dtype, conv_impl=cfg.conv_impl, name="mid_res_0")(h, temb)
-        h = attn_block(boc[-1], cfg.n_heads, cfg.norm_num_groups, dtype=self.dtype, name="mid_attn")(h)
+        h = attn_block(boc[-1], cfg.n_heads, cfg.norm_num_groups, dtype=self.dtype, attn_impl=cfg.attn_impl, gelu=cfg.gelu, name="mid_attn")(h)
         h = res_block(boc[-1], cfg.norm_num_groups, dtype=self.dtype, conv_impl=cfg.conv_impl, name="mid_res_1")(h, temb)
 
         # up (reversed channel order; num_layers = layers_per_block + 1)
@@ -282,7 +329,7 @@ class UNet1D(nn.Module):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = res_block(rev[i], cfg.norm_num_groups, dtype=self.dtype, conv_impl=cfg.conv_impl, name=f"up_{i}_res_{j}")(h, temb)
                 if rev_attn[i]:
-                    h = attn_block(rev[i], cfg.n_heads, cfg.norm_num_groups, dtype=self.dtype, name=f"up_{i}_attn_{j}")(h)
+                    h = attn_block(rev[i], cfg.n_heads, cfg.norm_num_groups, dtype=self.dtype, attn_impl=cfg.attn_impl, gelu=cfg.gelu, name=f"up_{i}_attn_{j}")(h)
             if i < n_blocks - 1:
                 h = Upsample1D(rev[i], dtype=self.dtype, conv_impl=cfg.conv_impl, name=f"up_{i}_upsample")(h)
 

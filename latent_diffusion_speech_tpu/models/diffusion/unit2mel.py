@@ -43,6 +43,8 @@ class Unit2MelConfig:
     k_step: int = 1000
     max_beta: float = 0.02
     conv_impl: str = "xla"           # UNet conv lowering: 'xla' | 'matmul'
+    attn_impl: str = "xla"           # UNet attention: 'xla' | 'fused' (opt-in Pallas)
+    gelu: str = "exact"              # GEGLU gelu: 'exact' (erf) | 'tanh'
 
     def unet_config(self, remat: bool = False) -> UNet1DConfig:
         return UNet1DConfig(
@@ -53,6 +55,8 @@ class Unit2MelConfig:
             n_heads=self.n_heads,
             remat=remat,
             conv_impl=self.conv_impl,
+            attn_impl=self.attn_impl,
+            gelu=self.gelu,
         )
 
 

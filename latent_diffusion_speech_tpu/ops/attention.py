@@ -119,6 +119,25 @@ def dot_product_attention(
 
         return flash_attention(q, k, v, bias=bias, mask=mask, is_causal=is_causal, scale=scale)
 
+    if impl == "fused":
+        # single-block fused attention with a Pallas backward — for short
+        # self-attention (the UNet transformer blocks), where the unfused
+        # path is bound by (B, H, T, T) f32 logits traffic in HBM
+        from latent_diffusion_speech_tpu.ops.pallas.fused_attention import (
+            MAX_FUSED_T,
+            fused_attention,
+        )
+
+        if (
+            jax.default_backend() == "tpu"  # CPU (tests/quickstart): XLA path
+            and bias is None and mask is None and not is_causal
+            and not (dropout_rate > 0.0 and dropout_rng is not None)
+            and q.shape == k.shape == v.shape
+            and q.shape[1] <= MAX_FUSED_T
+        ):
+            return fused_attention(q, k, v, scale)
+        # anything else: fall through to the XLA path below
+
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
     if bias is not None:

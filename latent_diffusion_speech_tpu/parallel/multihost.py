@@ -93,10 +93,10 @@ def global_shard_batch(mesh, batch: Any) -> Any:
         x = np.asarray(x)
         if x.ndim >= 1:
             sharding = mesh_lib.batch_sharding(mesh, x.ndim)
-            if covers_all_data:
-                # the local batch IS the global batch (model axes span hosts)
-                return jax.device_put(x, sharding)
             try:
+                if covers_all_data:
+                    # the local batch IS the global batch (model axes span hosts)
+                    return jax.device_put(x, sharding)
                 return jax.make_array_from_process_local_data(sharding, x)
             except ValueError as e:
                 raise ValueError(

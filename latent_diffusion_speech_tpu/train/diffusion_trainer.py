@@ -65,6 +65,8 @@ class DiffusionTrainer:
             timesteps=cfg.diffusion.model.timesteps,
             k_step=cfg.diffusion.model.k_step_max,
             conv_impl=cfg.diffusion.model.conv_impl,
+            attn_impl=cfg.diffusion.model.attn_impl,
+            gelu=cfg.diffusion.model.gelu,
         )
         # remat trades compile time + recompute for activation memory; the
         # flagship geometry fits v5e HBM without it at practical batch sizes
