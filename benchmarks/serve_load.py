@@ -119,9 +119,7 @@ def percentiles(xs):
 
 
 def main():
-    from http.server import ThreadingHTTPServer
-
-    from latent_diffusion_speech_tpu.cli.serve import make_handler
+    from latent_diffusion_speech_tpu.cli.serve import TTSHTTPServer, make_handler
     from latent_diffusion_speech_tpu.infer import TTSServer
 
     _note(f"devices: {jax.devices()}")
@@ -132,7 +130,7 @@ def main():
         method="dpm-solver", infer_speedup=SPEEDUP, max_length=MAX_LENGTH,
         max_queue=MAX_QUEUE,
     ) as server:
-        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+        httpd = TTSHTTPServer(("127.0.0.1", 0), make_handler(server))
         port = httpd.server_address[1]
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
         try:

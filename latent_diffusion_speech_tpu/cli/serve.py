@@ -42,7 +42,16 @@ import numpy as np
 
 from latent_diffusion_speech_tpu.cli._common import config_parser, load
 
-__all__ = ["make_handler", "main"]
+__all__ = ["make_handler", "TTSHTTPServer", "main"]
+
+
+class TTSHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a deep accept backlog: the stdlib default
+    (request_queue_size=5) RSTs connections under bursts — backpressure must
+    answer 429, not reset; the TTSServer's max_queue is the real limiter."""
+
+    request_queue_size = 128
+    daemon_threads = True
 
 
 def _prometheus(lines) -> bytes:
@@ -268,6 +277,9 @@ def main():
     p.add_argument("--max-wait-ms", type=float, default=30.0)
     p.add_argument("--max-queue", type=int, default=64,
                    help="reject (HTTP 429) past this many queued pieces; 0 = unbounded")
+    p.add_argument("--seed-strict", action="store_true",
+                   help="dispatch unlike seeds separately (exact per-request "
+                        "determinism; collapses batching under mixed load)")
     p.add_argument("--speedup", type=int, default=None)
     p.add_argument("--method", type=str, default=None)
     p.add_argument("--weight-quant", type=str, default=None, choices=["int8"],
@@ -295,8 +307,9 @@ def main():
         method=args.method or cfg.common.infer.method,
         infer_speedup=args.speedup or cfg.common.infer.speedup,
         max_queue=args.max_queue,
+        seed_strict=args.seed_strict,
     ) as server:
-        httpd = ThreadingHTTPServer(
+        httpd = TTSHTTPServer(
             (args.host, args.port), make_handler(server, auth_token=args.auth_token)
         )
         print(f"serving on http://{args.host}:{httpd.server_address[1]} "

@@ -57,6 +57,7 @@ class TTSServer:
         infer_speedup: int = 50,
         max_length: int = 1024,
         max_queue: int = 0,
+        seed_strict: bool = False,
     ):
         self.pipeline = pipeline
         self.max_batch = max_batch
@@ -66,6 +67,16 @@ class TTSServer:
         self.max_length = max_length
         # backpressure: reject admissions past this queue depth (0 = unbounded)
         self.max_queue = max_queue
+        # seed semantics under dynamic batching: tts_batch takes ONE rng seed,
+        # and jax PRNG draws depend on the batch shape anyway, so exact
+        # per-request audio reproducibility only ever held for solo dispatches.
+        # Default (False): coalesce unlike seeds — the batch runs with the
+        # first request's seed and per-request seeds are best-effort (real
+        # production load would otherwise never batch: every request carries
+        # its own seed and mean batch size collapses to 1 — measured in
+        # benchmarks/SERVE_LOAD.json history).  seed_strict=True restores
+        # per-seed separation for single-tenant/testing determinism.
+        self.seed_strict = seed_strict
         self._queue: "queue.Queue[Optional[TTSRequest]]" = queue.Queue()
         self._pending: Optional[TTSRequest] = None  # dispatch-thread only
         self._closed = False
@@ -160,12 +171,14 @@ class TTSServer:
             if nxt is None:
                 saw_sentinel = True
                 break
-            if nxt.language != first.language or nxt.seed != first.seed:
-                # languages batch separately (different frontends), and
-                # tts_batch takes one seed — unlike seeds dispatch separately
-                # so every request's seed is honored; the incompatible request
-                # becomes the next batch's first (requeueing would let it
-                # starve behind a steady stream of compatible arrivals)
+            if nxt.language != first.language or (
+                self.seed_strict and nxt.seed != first.seed
+            ):
+                # languages batch separately (different frontends); in
+                # seed_strict mode unlike seeds dispatch separately too.  The
+                # incompatible request becomes the next batch's first
+                # (requeueing would let it starve behind a steady stream of
+                # compatible arrivals)
                 self._pending = nxt
                 break
             batch.append(nxt)

@@ -50,17 +50,30 @@ def test_server_coalesces_and_serves():
     assert pipe.calls[0]["spk_ids"] == [1, 2, 3]
 
 
-def test_server_separates_unlike_seeds():
-    """tts_batch takes one seed, so unlike seeds dispatch separately and
-    every request's seed is honored."""
+def test_server_separates_unlike_seeds_when_strict():
+    """seed_strict=True: unlike seeds dispatch separately so every request's
+    seed is honored exactly (single-tenant/testing determinism)."""
     pipe = FakePipeline(delay_s=0.02)
-    with TTSServer(pipe, max_batch=4, max_wait_ms=300) as server:
+    with TTSServer(pipe, max_batch=4, max_wait_ms=300, seed_strict=True) as server:
         f1 = server.submit("a", seed=1)
         f2 = server.submit("bb", seed=2)
         for f in (f1, f2):
             f.result(timeout=30)
     assert server.batches_served == 2
     assert sorted(c["seed"] for c in pipe.calls) == [1, 2]
+
+
+def test_server_coalesces_unlike_seeds_by_default():
+    """Default: unlike seeds batch together (real load gives every request
+    its own seed — strict separation collapses batching to B=1, measured in
+    SERVE_LOAD.json history); the batch runs with the first request's seed."""
+    pipe = FakePipeline(delay_s=0.02)
+    with TTSServer(pipe, max_batch=4, max_wait_ms=300) as server:
+        futures = [server.submit(t, seed=i + 1) for i, t in enumerate(["a", "bb", "ccc"])]
+        for f in futures:
+            f.result(timeout=30)
+    assert server.batches_served == 1
+    assert pipe.calls[0]["texts"] == ["a", "bb", "ccc"]
 
 
 def test_server_window_anchored_to_first_arrival():
