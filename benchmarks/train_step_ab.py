@@ -39,11 +39,12 @@ def _note(msg: str) -> None:
     print(f"[train_step_ab] {msg}", file=sys.stderr, flush=True)
 
 
-def measure(name: str, attn_impl: str, gelu: str, B: int) -> dict:
-    _note(f"building {name} (attn={attn_impl} gelu={gelu} B={B})")
+def measure(name: str, attn_impl: str, gelu: str, B: int, qkv: str = "split") -> dict:
+    _note(f"building {name} (attn={attn_impl} gelu={gelu} qkv={qkv} B={B})")
     cfg = Config()
     cfg.diffusion.model.attn_impl = attn_impl
     cfg.diffusion.model.gelu = gelu
+    cfg.diffusion.model.qkv = qkv
     trainer = DiffusionTrainer(cfg, dtype=jnp.bfloat16)
     rng_np = np.random.default_rng(3)
     batch = trainer.device_put_batch({
@@ -72,7 +73,7 @@ def measure(name: str, attn_impl: str, gelu: str, B: int) -> dict:
         metrics = trainer.train_step(batch, jax.random.PRNGKey(10 + i))
     loss = float(metrics["loss"])
     step_s = (time.perf_counter() - t0) / N_CHAIN
-    row = {"arm": name, "attn_impl": attn_impl, "gelu": gelu, "B": B,
+    row = {"arm": name, "attn_impl": attn_impl, "gelu": gelu, "qkv": qkv, "B": B,
            "step_ms": step_s * 1e3, "samples_per_s": B / step_s,
            "loss": loss, "flops": flops}
     _note(json.dumps(row))
@@ -87,6 +88,7 @@ def main():
     for B in (64, 256):
         results.append(measure("geglu-2x4C+exact", "xla", "exact", B))
         results.append(measure("gelu-tanh", "xla", "tanh", B))
+        results.append(measure("qkv-fused", "xla", "exact", B, qkv="fused"))
     peak = device_peak_flops(dev)
     for r in results:
         if peak and r["flops"]:

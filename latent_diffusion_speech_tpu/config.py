@@ -117,6 +117,8 @@ class DiffusionModelConfig:
     # GEGLU gelu: 'exact' (erf, parity default) | 'tanh' (approximation with
     # error below bf16 resolution; measured mixed — TRAIN_STEP_AB.json)
     gelu: str = "exact"
+    # q/k/v projections: 'split' (parity default) | 'fused' (one (C,3C) matmul)
+    qkv: str = "split"
 
 
 @dataclass

@@ -88,6 +88,7 @@ def load_reference_pipeline(
         conv_impl=cfg.diffusion.model.conv_impl,
         attn_impl=cfg.diffusion.model.attn_impl,
         gelu=cfg.diffusion.model.gelu,
+        qkv=cfg.diffusion.model.qkv,
     )
     state = torch.load(diffusion_ckpt, map_location="cpu", weights_only=False)["model"]
     diffusion = Unit2MelSystem(

@@ -18,3 +18,12 @@ from latent_diffusion_speech_tpu.models.diffusion.unit2mel import (  # noqa: F40
     Unit2MelConfig,
     Unit2MelSystem,
 )
+from latent_diffusion_speech_tpu.models.diffusion.blocks import (  # noqa: F401
+    get_down_block,
+    get_mid_block,
+    get_up_block,
+)
+from latent_diffusion_speech_tpu.models.diffusion.unet1d_condition import (  # noqa: F401
+    UNet1DCondition,
+    UNet1DConditionConfig,
+)

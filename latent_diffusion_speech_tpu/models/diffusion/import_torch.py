@@ -15,7 +15,11 @@ import numpy as np
 
 from latent_diffusion_speech_tpu.models.diffusion.unet1d import UNet1DConfig
 
-__all__ = ["unet_params_from_torch", "unit2mel_params_from_torch"]
+__all__ = [
+    "unet_params_from_torch",
+    "unit2mel_params_from_torch",
+    "block_params_from_torch",
+]
 
 
 def _np(v):
@@ -133,4 +137,71 @@ def unit2mel_params_from_torch(state: Dict, cfg) -> Dict:
         params["volume_embed"] = _dense(state, "volume_embed")
     if "aug_shift_embed.weight" in state:
         params["aug_shift_embed"] = _dense(state, "aug_shift_embed", bias=False)
+    return params
+
+
+def block_params_from_torch(state: Dict, template: Dict = None) -> Dict:
+    """Generic path-translating importer for the block zoo (`blocks.py`).
+
+    The flax module names mirror the torch submodule paths with list indices
+    merged into the parent name (``resnets.0.conv1.weight`` ->
+    ``resnets_0/conv1/kernel``), so any reference block state_dict — a single
+    block or a whole assembled model slice — converts mechanically:
+
+    * conv  ``weight`` (O, I, k) -> ``kernel`` (k, I, O)
+    * linear ``weight`` (O, I)   -> ``kernel`` (I, O)
+    * norm  ``weight``  (C,)     -> ``scale``
+    * ``to_out.0`` / ``ff.net.0.proj`` etc. follow from the merge rule
+    * non-param buffers (num_batches_tracked, FIR kernels) are dropped
+
+    `template` (the flax params tree from module.init) reconciles the one
+    genuine layout ambiguity: a torch 1x1 conv and a torch linear are both a
+    flax Dense or a k=1 Conv depending on the module — leaves whose rank
+    disagrees with the template are squeezed/expanded along the kernel axis
+    (this is how use_linear_projection checkpoints load into the same
+    module).
+    """
+    params: Dict = {}
+    for key, value in state.items():
+        w = _np(value)
+        parts = key.split(".")
+        leaf = parts[-1]
+        path = []
+        for p in parts[:-1]:
+            if p.isdigit() and path:
+                path[-1] = f"{path[-1]}_{p}"
+            else:
+                path.append(p)
+        if leaf == "weight":
+            if w.ndim == 3:
+                entry = ("kernel", np.transpose(w, (2, 1, 0)))
+            elif w.ndim == 2:
+                entry = ("kernel", w.T)
+            elif w.ndim == 1:
+                entry = ("scale", w)
+            else:
+                continue  # 4-D 2-D-residue buffers: not part of the 1-D intent
+        elif leaf == "bias":
+            entry = ("bias", w)
+        else:
+            continue
+        name, w = entry
+        if template is not None:
+            ref = template
+            ok = True
+            for p in path:
+                if not isinstance(ref, dict) or p not in ref:
+                    ok = False
+                    break
+                ref = ref[p]
+            if ok and isinstance(ref, dict) and name in ref:
+                tgt = ref[name]
+                if w.ndim == 3 and getattr(tgt, "ndim", w.ndim) == 2:
+                    w = w[0]  # (1, I, O) conv1x1 -> Dense (I, O)
+                elif w.ndim == 2 and getattr(tgt, "ndim", w.ndim) == 3:
+                    w = w[None]  # linear -> k=1 conv (1, I, O)
+        node = params
+        for p in path:
+            node = node.setdefault(p, {})
+        node[name] = w
     return params

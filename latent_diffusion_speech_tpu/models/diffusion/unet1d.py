@@ -57,6 +57,10 @@ class UNet1DConfig:
     # error < bf16 resolution; measured MIXED: -4% step at B=256 but -26%
     # at B=64 from an XLA fusion pathology — benchmarks/TRAIN_STEP_AB.json)
     gelu: str = "exact"
+    # q/k/v projections: 'split' (three (C,C) matmuls — parity default) or
+    # 'fused' (one (C,3C) matmul on concatenated kernels; identical params
+    # and numerics up to dot-product association — same trick as GegluFF)
+    qkv: str = "split"
 
     @property
     def downsample_factor(self) -> int:
@@ -93,6 +97,7 @@ class Conv1dSame(nn.Module):
     stride: int = 1
     impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
+    use_bias: bool = True
     # Fuse a nearest-x2 upsample into the conv (matmul impl, k=3, s=1 only):
     # the caller passes the UN-repeated x and gets the 2T output.  Polyphase:
     # out[2t] = w0·x[t-1] + (w1+w2)·x[t]; out[2t+1] = (w0+w1)·x[t] + w2·x[t+1]
@@ -108,7 +113,11 @@ class Conv1dSame(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             (k, x.shape[-1], self.features), jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else jnp.zeros((self.features,), jnp.float32)
+        )
         x = x.astype(self.dtype)
         w = kernel.astype(self.dtype)
         if self.upsample2x:
@@ -167,19 +176,48 @@ class ResBlock1D(nn.Module):
         return x + h
 
 
+class _ProjKernel(nn.Module):
+    """Bias-free projection weight with nn.Dense's param layout, returned as
+    an array so callers can fuse several projections into one matmul while
+    checkpoints stay interchangeable with the split form."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features), jnp.float32
+        )
+
+
 class SelfAttention(nn.Module):
     channels: int
     n_heads: int
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    qkv: str = "split"
 
     @nn.compact
     def __call__(self, x):
         B, T, C = x.shape
         d = self.channels // self.n_heads
-        q = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="to_k")(x)
-        v = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        if self.qkv == "fused":
+            # one (B*T, C) @ (C, 3C) matmul instead of three (C, C) ones:
+            # fewer dispatches, fuller MXU tiles; the kernel concat is tiny
+            # next to the matmul and the param tree is unchanged
+            w = jnp.concatenate(
+                [
+                    _ProjKernel(self.channels, name="to_q")(x.shape[-1]),
+                    _ProjKernel(self.channels, name="to_k")(x.shape[-1]),
+                    _ProjKernel(self.channels, name="to_v")(x.shape[-1]),
+                ],
+                axis=1,
+            ).astype(self.dtype)
+            q, k, v = jnp.split(x @ w, 3, axis=-1)
+        else:
+            q = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            k = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="to_k")(x)
+            v = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="to_v")(x)
         out = dot_product_attention(
             q.reshape(B, T, self.n_heads, d),
             k.reshape(B, T, self.n_heads, d),
@@ -229,6 +267,7 @@ class TransformerBlock1D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     gelu: str = "exact"  # 'exact' (erf) | 'tanh' (see UNet1DConfig.gelu)
+    qkv: str = "split"
 
     @nn.compact
     def __call__(self, x):
@@ -238,11 +277,11 @@ class TransformerBlock1D(nn.Module):
 
         # BasicTransformerBlock: attn1 + attn2 (both self-attn at runtime) + GEGLU FF
         h = h + SelfAttention(self.channels, self.n_heads, dtype=self.dtype,
-                              attn_impl=self.attn_impl, name="attn1")(
+                              attn_impl=self.attn_impl, qkv=self.qkv, name="attn1")(
             nn.LayerNorm(name="norm1")(h).astype(self.dtype)
         )
         h = h + SelfAttention(self.channels, self.n_heads, dtype=self.dtype,
-                              attn_impl=self.attn_impl, name="attn2")(
+                              attn_impl=self.attn_impl, qkv=self.qkv, name="attn2")(
             nn.LayerNorm(name="norm2")(h).astype(self.dtype)
         )
         ff_in = nn.LayerNorm(name="norm3")(h).astype(self.dtype)
@@ -310,7 +349,7 @@ class UNet1D(nn.Module):
             for j in range(cfg.layers_per_block):
                 h = res_block(boc[i], cfg.norm_num_groups, dtype=self.dtype, conv_impl=cfg.conv_impl, name=f"down_{i}_res_{j}")(h, temb)
                 if cfg.cross_attn[i]:
-                    h = attn_block(boc[i], cfg.n_heads, cfg.norm_num_groups, dtype=self.dtype, attn_impl=cfg.attn_impl, gelu=cfg.gelu, name=f"down_{i}_attn_{j}")(h)
+                    h = attn_block(boc[i], cfg.n_heads, cfg.norm_num_groups, dtype=self.dtype, attn_impl=cfg.attn_impl, gelu=cfg.gelu, qkv=cfg.qkv, name=f"down_{i}_attn_{j}")(h)
                 skips.append(h)
             if i < n_blocks - 1:
                 h = Downsample1D(boc[i], dtype=self.dtype, conv_impl=cfg.conv_impl, name=f"down_{i}_downsample")(h)
@@ -318,7 +357,7 @@ class UNet1D(nn.Module):
 
         # mid
         h = res_block(boc[-1], cfg.norm_num_groups, dtype=self.dtype, conv_impl=cfg.conv_impl, name="mid_res_0")(h, temb)
-        h = attn_block(boc[-1], cfg.n_heads, cfg.norm_num_groups, dtype=self.dtype, attn_impl=cfg.attn_impl, gelu=cfg.gelu, name="mid_attn")(h)
+        h = attn_block(boc[-1], cfg.n_heads, cfg.norm_num_groups, dtype=self.dtype, attn_impl=cfg.attn_impl, gelu=cfg.gelu, qkv=cfg.qkv, name="mid_attn")(h)
         h = res_block(boc[-1], cfg.norm_num_groups, dtype=self.dtype, conv_impl=cfg.conv_impl, name="mid_res_1")(h, temb)
 
         # up (reversed channel order; num_layers = layers_per_block + 1)
@@ -329,7 +368,7 @@ class UNet1D(nn.Module):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = res_block(rev[i], cfg.norm_num_groups, dtype=self.dtype, conv_impl=cfg.conv_impl, name=f"up_{i}_res_{j}")(h, temb)
                 if rev_attn[i]:
-                    h = attn_block(rev[i], cfg.n_heads, cfg.norm_num_groups, dtype=self.dtype, attn_impl=cfg.attn_impl, gelu=cfg.gelu, name=f"up_{i}_attn_{j}")(h)
+                    h = attn_block(rev[i], cfg.n_heads, cfg.norm_num_groups, dtype=self.dtype, attn_impl=cfg.attn_impl, gelu=cfg.gelu, qkv=cfg.qkv, name=f"up_{i}_attn_{j}")(h)
             if i < n_blocks - 1:
                 h = Upsample1D(rev[i], dtype=self.dtype, conv_impl=cfg.conv_impl, name=f"up_{i}_upsample")(h)
 

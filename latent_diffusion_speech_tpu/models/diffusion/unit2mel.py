@@ -45,6 +45,15 @@ class Unit2MelConfig:
     conv_impl: str = "xla"           # UNet conv lowering: 'xla' | 'matmul'
     attn_impl: str = "xla"           # UNet attention: 'xla' | 'fused' (opt-in Pallas)
     gelu: str = "exact"              # GEGLU gelu: 'exact' (erf) | 'tanh'
+    qkv: str = "split"               # q/k/v projections: 'split' | 'fused'
+    # Denoiser backbone: 'flagship' = the perf-tuned effective architecture
+    # (UNet1D); 'general' = the full diffusers-style block-graph builder
+    # (UNet1DCondition) — lets a config swap any factory block type in
+    # (down/up/mid overrides below; None = the reference's effective types).
+    denoiser: str = "flagship"
+    down_block_types: Optional[Tuple[str, ...]] = None
+    up_block_types: Optional[Tuple[str, ...]] = None
+    mid_block_type: Optional[str] = "UNetMidBlock2DCrossAttn"
 
     def unet_config(self, remat: bool = False) -> UNet1DConfig:
         return UNet1DConfig(
@@ -57,6 +66,37 @@ class Unit2MelConfig:
             conv_impl=self.conv_impl,
             attn_impl=self.attn_impl,
             gelu=self.gelu,
+            qkv=self.qkv,
+        )
+
+    def general_unet_config(self):
+        """UNet1DConditionConfig equivalent of the effective architecture,
+        with any block-type overrides applied (Unit2Mel pins
+        only_cross_attention=True + scale_shift, `unit2mel.py:62-71`)."""
+        from latent_diffusion_speech_tpu.models.diffusion.unet1d_condition import (
+            UNet1DConditionConfig,
+        )
+
+        n = len(self.block_out_channels)
+        down = self.down_block_types or (
+            ("CrossAttnDownBlock2D",) * (n - 1) + ("DownBlock2D",)
+        )
+        up = self.up_block_types or (
+            ("UpBlock2D",) + ("CrossAttnUpBlock2D",) * (n - 1)
+        )
+        return UNet1DConditionConfig(
+            in_channels=self.out_dims + self.n_hidden,
+            out_channels=self.out_dims,
+            block_out_channels=self.block_out_channels,
+            down_block_types=tuple(down),
+            up_block_types=tuple(up),
+            mid_block_type=self.mid_block_type,
+            layers_per_block=self.n_layers,
+            norm_num_groups=8,
+            cross_attention_dim=tuple(self.block_out_channels),
+            attention_head_dim=self.n_heads,
+            only_cross_attention=True,
+            resnet_time_scale_shift="scale_shift",
         )
 
 
@@ -74,7 +114,17 @@ class Unit2Mel(nn.Module):
             self.spk_embed = nn.Embed(cfg.n_spk, cfg.n_hidden, name="spk_embed")
         if cfg.use_pitch_aug:
             self.aug_shift_embed = nn.Dense(cfg.n_hidden, use_bias=False, dtype=self.dtype, name="aug_shift_embed")
-        self.unet = UNet1D(cfg.unet_config(self.remat), dtype=self.dtype, name="unet")
+        if cfg.denoiser == "general":
+            from latent_diffusion_speech_tpu.models.diffusion.unet1d_condition import (
+                UNet1DCondition,
+            )
+
+            self.unet = UNet1DCondition(
+                cfg.general_unet_config(), dtype=self.dtype,
+                attn_impl=cfg.attn_impl, name="unet",
+            )
+        else:
+            self.unet = UNet1D(cfg.unet_config(self.remat), dtype=self.dtype, name="unet")
 
     def condition(
         self,
@@ -143,6 +193,11 @@ class Unit2MelSystem:
             raise ValueError(f"weight_quant must be None or 'int8', got {weight_quant!r}")
         if weight_quant is not None and unet_impl == "pallas":
             raise ValueError("weight_quant applies to the XLA sampling path; not combinable with unet_impl='pallas'")
+        if cfg.denoiser == "general" and (unet_impl == "pallas" or weight_quant is not None):
+            raise ValueError(
+                "the Pallas fused UNet and int8 weight packing target the "
+                "flagship layout; use denoiser='flagship' with them"
+            )
         self.weight_quant = weight_quant
         self.module = Unit2Mel(cfg, dtype=dtype, remat=remat)
         if params is None:

@@ -67,6 +67,7 @@ class DiffusionTrainer:
             conv_impl=cfg.diffusion.model.conv_impl,
             attn_impl=cfg.diffusion.model.attn_impl,
             gelu=cfg.diffusion.model.gelu,
+            qkv=cfg.diffusion.model.qkv,
         )
         # remat trades compile time + recompute for activation memory; the
         # flagship geometry fits v5e HBM without it at practical batch sizes

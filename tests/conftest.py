@@ -45,6 +45,8 @@ _SLOW_MODULES = {
     "test_whisper_units", "test_vaegan", "test_fast_batch",
     # interpret-mode Pallas UNet parity suites: minutes each on CPU
     "test_pallas_unet", "test_pallas_unet_stream",
+    # full block-zoo torch parity + general-UNet compiles
+    "test_unet_blocks", "test_vaegan_modules",
     # shard_map pipeline compiles on 8 virtual devices: ~4 min
     "test_pipeline",
 }
