@@ -34,6 +34,7 @@ __all__ = [
     "LMTrainConfig",
     "LMConfig",
     "ParallelConfig",
+    "DebugConfig",
     "load_config",
     "save_config",
     "config_from_dict",
@@ -114,9 +115,10 @@ class DiffusionModelConfig:
     # UNet attention: 'xla' (einsum — measured at its traffic floor here) or
     # 'fused' (opt-in Pallas single-block kernel; loses at these shapes)
     attn_impl: str = "xla"
-    # GEGLU gelu: 'exact' (erf, parity default) | 'tanh' (approximation with
-    # error below bf16 resolution; measured mixed — TRAIN_STEP_AB.json)
-    gelu: str = "exact"
+    # GEGLU gelu: 'auto' (default — tanh approximation iff batch >= 128, the
+    # measured crossover in TRAIN_STEP_AB.json: -4% step at B=256, loses at
+    # B=64) | 'exact' (erf everywhere, bit-parity mode) | 'tanh' (everywhere)
+    gelu: str = "auto"
     # q/k/v projections: 'split' (parity default) | 'fused' (one (C,3C) matmul)
     qkv: str = "split"
 
@@ -213,6 +215,17 @@ class LMConfig:
 
 
 @dataclass
+class DebugConfig:
+    """Sanitizer switches (SURVEY.md §5 "race detection / sanitizers" — the
+    reference has none; this is the framework's own bar).  All off by default
+    (zero overhead); see `train/debug.py` for semantics."""
+
+    debug_nans: bool = False    # jax_debug_nans: raise at the first NaN-producing op
+    check_interval: int = 0     # >0: finite-param/loss assertion every N steps
+    dump_on_nan: bool = False   # write the offending batch to expdir on failure
+
+
+@dataclass
 class ParallelConfig:
     """Device-mesh layout. No reference equivalent (reference is DDP-only via
     HF accelerate, SURVEY.md section 2.8); here parallelism is declarative."""
@@ -236,6 +249,7 @@ class Config:
     diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
     text2semantic: LMConfig = field(default_factory=LMConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    debug: DebugConfig = field(default_factory=DebugConfig)
 
 
 # ---------------------------------------------------------------------------

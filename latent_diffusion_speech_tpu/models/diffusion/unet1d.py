@@ -53,10 +53,14 @@ class UNet1DConfig:
     # these short sequences; 'fused' = the Pallas single-block kernel, kept as
     # a tested opt-in (it LOSES here: benchmarks/TRAIN_ATTN_AB.json)
     attn_impl: str = "xla"
-    # GEGLU gelu: 'exact' (erf — parity default) | 'tanh' (approximation,
-    # error < bf16 resolution; measured MIXED: -4% step at B=256 but -26%
-    # at B=64 from an XLA fusion pathology — benchmarks/TRAIN_STEP_AB.json)
-    gelu: str = "exact"
+    # GEGLU gelu: 'auto' (default — tanh approximation for batch >= 128,
+    # exact erf below), 'exact' (erf everywhere — bit-parity mode), 'tanh'
+    # (everywhere).  Measured (benchmarks/TRAIN_STEP_AB.json): tanh is -4%
+    # step time at B=256 (74.4 vs 77.6 ms) but +35% at B=64 (an XLA fusion
+    # pathology), hence the per-shape dispatch; the approximation error
+    # (<1e-3 relative) is below bf16 resolution.  Shapes are static under
+    # jit, so 'auto' resolves at trace time — no runtime branch.
+    gelu: str = "auto"
     # q/k/v projections: 'split' (three (C,C) matmuls — parity default) or
     # 'fused' (one (C,3C) matmul on concatenated kernels; identical params
     # and numerics up to dot-product association — same trick as GegluFF)
@@ -235,10 +239,10 @@ class GegluFF(nn.Module):
     (benchmarks/TRAIN_DECOMPOSE.json geglu rows).
 
     `approx_gelu` swaps erf-GELU for the tanh approximation: erf lowers to a
-    long VPU polynomial on TPU and is the single hottest op in the block
-    (measured 2x the whole sub-layer cost); the tanh form's error (<1e-3
-    relative) is below bf16 resolution, so the UNet enables it automatically
-    when computing in bf16 and keeps exact erf in f32 (torch parity)."""
+    long VPU polynomial on TPU; the tanh form's error (<1e-3 relative) is
+    below bf16 resolution.  The dispatch lives in TransformerBlock1D
+    (gelu='auto': tanh iff batch >= 128 — the measured crossover where the
+    tanh form wins; below it an XLA fusion pathology makes it lose)."""
 
     channels: int
     dtype: jnp.dtype = jnp.float32
@@ -266,7 +270,7 @@ class TransformerBlock1D(nn.Module):
     groups: int = 8
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
-    gelu: str = "exact"  # 'exact' (erf) | 'tanh' (see UNet1DConfig.gelu)
+    gelu: str = "auto"  # 'auto' (tanh iff B >= 128) | 'exact' | 'tanh' (see UNet1DConfig.gelu)
     qkv: str = "split"
 
     @nn.compact
@@ -285,7 +289,9 @@ class TransformerBlock1D(nn.Module):
             nn.LayerNorm(name="norm2")(h).astype(self.dtype)
         )
         ff_in = nn.LayerNorm(name="norm3")(h).astype(self.dtype)
-        approx = self.gelu == "tanh"
+        # 'auto': x.shape[0] is static under jit, so the B>=128 dispatch is a
+        # trace-time constant (the measured crossover — TRAIN_STEP_AB.json)
+        approx = self.gelu == "tanh" or (self.gelu == "auto" and x.shape[0] >= 128)
         h = h + nn.Dense(self.channels, dtype=self.dtype, name="ff_out")(
             GegluFF(self.channels, dtype=self.dtype, approx_gelu=approx,
                     name="ff_proj")(ff_in)

@@ -44,7 +44,7 @@ class Unit2MelConfig:
     max_beta: float = 0.02
     conv_impl: str = "xla"           # UNet conv lowering: 'xla' | 'matmul'
     attn_impl: str = "xla"           # UNet attention: 'xla' | 'fused' (opt-in Pallas)
-    gelu: str = "exact"              # GEGLU gelu: 'exact' (erf) | 'tanh'
+    gelu: str = "auto"               # GEGLU gelu: 'auto' (tanh iff B>=128) | 'exact' | 'tanh'
     qkv: str = "split"               # q/k/v projections: 'split' | 'fused'
     # Denoiser backbone: 'flagship' = the perf-tuned effective architecture
     # (UNet1D); 'general' = the full diffusers-style block-graph builder

@@ -76,6 +76,11 @@ def _kana_to_phones(text: str) -> List[str]:
             # chouonpu lengthens the previous vowel (openjtalk: doubled vowel)
             if phones and phones[-1] in "aiueo":
                 phones.append(phones[-1])
+        elif ch == "ウ" and i > 0 and kata[i - 1] == "ョ":
+            # ょう is ALWAYS a long o (volitional ましょう/でしょう, Sino-
+            # Japanese きょう) — never an okurigana mora, unlike plain
+            # o-row + う (思う), so the rewrite is safe on raw kana input
+            phones.append("o")
         elif ch in _KATAKANA_ROMAJI:
             mapped = _KATAKANA_ROMAJI[ch]
             if mapped:

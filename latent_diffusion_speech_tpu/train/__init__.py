@@ -11,5 +11,11 @@ from latent_diffusion_speech_tpu.train.checkpoint import (  # noqa: F401
     load_checkpoint,
     save_checkpoint,
 )
+from latent_diffusion_speech_tpu.train.debug import (  # noqa: F401
+    NonFiniteError,
+    assert_tree_finite,
+    check_step,
+    install,
+)
 from latent_diffusion_speech_tpu.train.diffusion_trainer import DiffusionTrainer  # noqa: F401
 from latent_diffusion_speech_tpu.train.lm_trainer import LMTrainer  # noqa: F401

@@ -27,6 +27,8 @@ __all__ = [
 ]
 
 _STEP_RE = re.compile(r"model_(\d+)\.ckpt$")
+# sharded-format checkpoints are directories (train/sharded_checkpoint.py)
+_STEP_ANY_RE = re.compile(r"model_(\d+)(\.ckpt|\.sharded)$")
 
 
 def save_checkpoint(
@@ -101,10 +103,12 @@ def load_checkpoint_extra(
 
 
 def latest_checkpoint_step(expdir: str | Path) -> Optional[int]:
+    """Highest checkpointed step across both formats (msgpack file or
+    sharded dir — the reference's scan semantics, `tools/utils.py:69-88`)."""
     expdir = Path(expdir)
     if not expdir.exists():
         return None
-    steps = [int(m.group(1)) for p in expdir.glob("model_*.ckpt") if (m := _STEP_RE.search(p.name))]
+    steps = [int(m.group(1)) for p in expdir.glob("model_*") if (m := _STEP_ANY_RE.match(p.name))]
     return max(steps) if steps else None
 
 

@@ -255,14 +255,31 @@ class DiffusionTrainer:
         return metrics
 
     def save(self):
-        # rank-0-only write (reference: Saver_empty on non-main ranks,
-        # solver.py:88-91).  Cross-host-sharded params are allgathered first
-        # — a collective, so it runs on EVERY rank before the rank gate;
-        # a no-op for the replicated multi-host-DP case.
+        # Two formats by layout: params sharded ACROSS processes (cross-host
+        # model/pipe/expert axes) save shard-per-process + index
+        # (train/sharded_checkpoint.py — Orbax-style, SURVEY §5); otherwise
+        # rank-0 msgpack after a gather that is a local fetch for the
+        # replicated multi-host-DP case (reference: Saver_empty on non-main
+        # ranks, solver.py:88-91).
         from latent_diffusion_speech_tpu.parallel.dist import is_main_process
         from latent_diffusion_speech_tpu.parallel.multihost import gather_to_host
+        from latent_diffusion_speech_tpu.train.sharded_checkpoint import (
+            save_checkpoint_sharded,
+            tree_needs_sharded_save,
+        )
 
         tcfg = self.cfg.diffusion.train
+        if tree_needs_sharded_save(self.system.params):
+            trees = {"params": self.system.params}
+            if tcfg.save_opt:
+                trees["opt_state"] = self.opt_state
+            if self.ema_params is not None:
+                trees["ema"] = self.ema_params
+            save_checkpoint_sharded(
+                tcfg.expdir, self.step, trees, keep=tcfg.last_save_model_num,
+                meta={"epoch": self._epoch, "batch_in_epoch": self._batch_in_epoch},
+            )
+            return
         params = gather_to_host(self.system.params)
         opt_state = gather_to_host(self.opt_state) if tcfg.save_opt else None
         ema = gather_to_host(self.ema_params) if self.ema_params is not None else None
@@ -291,26 +308,56 @@ class DiffusionTrainer:
             path.write_bytes(serialization.to_bytes(self.vq_state._asdict()))
 
     def resume(self) -> bool:
-        tcfg = self.cfg.diffusion.train
-        if latest_checkpoint_step(tcfg.expdir) is None:
-            return False
-        step, params, opt_state = load_checkpoint(
-            tcfg.expdir, self.system.params, self.opt_state if tcfg.save_opt else None
+        from latent_diffusion_speech_tpu.train.sharded_checkpoint import (
+            load_checkpoint_sharded,
+            sharded_checkpoint_dir,
         )
-        self.step = step
-        self.system.params = params
-        if opt_state is not None:
-            self.opt_state = opt_state
+
+        tcfg = self.cfg.diffusion.train
+        step = latest_checkpoint_step(tcfg.expdir)
+        if step is None:
+            return False
+        if sharded_checkpoint_dir(tcfg.expdir, step).exists():
+            templates = {"params": self.system.params}
+            if tcfg.save_opt:
+                templates["opt_state"] = self.opt_state
+            if self.ema_decay > 0:
+                templates["ema"] = self.system.params
+            try:
+                restored = load_checkpoint_sharded(tcfg.expdir, step, templates)
+            except KeyError:
+                # checkpoint saved without opt_state/ema trees
+                restored = load_checkpoint_sharded(
+                    tcfg.expdir, step, {"params": self.system.params}
+                )
+            self.step = step
+            self.system.params = restored["params"]
+            if restored.get("opt_state") is not None:
+                self.opt_state = restored["opt_state"]
+            if self.ema_decay > 0:
+                self.ema_params = (
+                    restored.get("ema")
+                    or jax.tree_util.tree_map(jnp.copy, self.system.params)
+                )
+        else:
+            _, params, opt_state = load_checkpoint(
+                tcfg.expdir, self.system.params,
+                self.opt_state if tcfg.save_opt else None,
+            )
+            self.step = step
+            self.system.params = params
+            if opt_state is not None:
+                self.opt_state = opt_state
+            if self.ema_decay > 0:
+                ema = load_checkpoint_extra(tcfg.expdir, "ema", self.system.params)
+                # older checkpoints have no EMA sidecar: restart EMA from the
+                # resumed params (copied — train_step donates the live buffers)
+                if ema is None:
+                    ema = jax.tree_util.tree_map(jnp.copy, self.system.params)
+                self.ema_params = ema
         meta = load_checkpoint_meta(tcfg.expdir)
         self._epoch = int(meta.get("epoch", 0))
         self._batch_in_epoch = int(meta.get("batch_in_epoch", 0))
-        if self.ema_decay > 0:
-            ema = load_checkpoint_extra(tcfg.expdir, "ema", self.system.params)
-            # older checkpoints have no EMA sidecar: restart EMA from the
-            # resumed params (copied — train_step donates the live buffers)
-            if ema is None:
-                ema = jax.tree_util.tree_map(jnp.copy, self.system.params)
-            self.ema_params = ema
         return True
 
     def _step_mfu(self, batch, rng, steps_per_sec) -> Optional[float]:
@@ -344,12 +391,14 @@ class DiffusionTrainer:
         """Epoch loop mirroring `solver.train` (solver.py:87-152), plus
         preemption safety the reference lacks: SIGTERM/SIGINT checkpoints
         once and returns cleanly (train/signals.py)."""
+        from latent_diffusion_speech_tpu.train.debug import check_step, install
         from latent_diffusion_speech_tpu.train.signals import GracefulShutdown
 
         tcfg = self.cfg.diffusion.train
+        dcfg = getattr(self.cfg, "debug", None)
         base_rng = jax.random.PRNGKey(tcfg.seed)
         last_t = time.time()
-        with (shutdown or GracefulShutdown()) as stop:
+        with (shutdown or GracefulShutdown()) as stop, install(dcfg):
             start_epoch = self._epoch
             for epoch in range(start_epoch, tcfg.epochs):
                 resuming_mid_epoch = epoch == start_epoch and self._batch_in_epoch > 0
@@ -371,6 +420,10 @@ class DiffusionTrainer:
                     batch_size = int(device_batch["mel"].shape[0])
                     metrics = self.train_step(device_batch, sub)
                     self._batch_in_epoch += 1
+                    check_step(
+                        dcfg, self.step, self.system.params, metrics["loss"],
+                        batch=device_batch, expdir=tcfg.expdir,
+                    )
                     if self.step % tcfg.interval_log == 0:
                         dt = time.time() - last_t
                         last_t = time.time()

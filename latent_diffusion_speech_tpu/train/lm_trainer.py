@@ -361,14 +361,29 @@ class LMTrainer:
                 logger.log_audio(self.step, f"val/audio_{i}", wav, sr)
 
     def save(self):
-        # rank-0-only write (reference: Saver_empty on non-main ranks).
-        # Cross-host-sharded params (model/pipe/expert spanning processes)
-        # are allgathered first — a collective, so it runs on EVERY rank,
-        # before the rank gate; a no-op for replicated/addressable leaves.
+        # Params sharded ACROSS processes (cross-host model/pipe/expert axes)
+        # save shard-per-process + index (train/sharded_checkpoint.py,
+        # Orbax-style, SURVEY §5); otherwise rank-0 msgpack after a gather
+        # that is a local fetch for replicated/addressable leaves
+        # (reference: Saver_empty on non-main ranks).
         from latent_diffusion_speech_tpu.parallel.dist import is_main_process
         from latent_diffusion_speech_tpu.parallel.multihost import gather_to_host
+        from latent_diffusion_speech_tpu.train.sharded_checkpoint import (
+            save_checkpoint_sharded,
+            tree_needs_sharded_save,
+        )
 
         tcfg = self.cfg.text2semantic.train
+        meta = {"epoch": self._epoch, "batch_in_epoch": self._batch_in_epoch}
+        if tree_needs_sharded_save(self.system.params):
+            trees = {"params": self.system.params}
+            if tcfg.save_opt:
+                trees["opt_state"] = self.opt_state
+            save_checkpoint_sharded(
+                tcfg.expdir, self.step, trees,
+                keep=tcfg.last_save_model_num, meta=meta,
+            )
+            return
         params = gather_to_host(self.system.params)
         opt_state = gather_to_host(self.opt_state) if tcfg.save_opt else None
         if not is_main_process():
@@ -376,20 +391,42 @@ class LMTrainer:
         save_checkpoint(
             tcfg.expdir, self.step, params,
             opt_state, keep=tcfg.last_save_model_num,
-            meta={"epoch": self._epoch, "batch_in_epoch": self._batch_in_epoch},
+            meta=meta,
         )
 
     def resume(self) -> bool:
-        tcfg = self.cfg.text2semantic.train
-        if latest_checkpoint_step(tcfg.expdir) is None:
-            return False
-        step, params, opt_state = load_checkpoint(
-            tcfg.expdir, self.system.params, self.opt_state if tcfg.save_opt else None
+        from latent_diffusion_speech_tpu.train.sharded_checkpoint import (
+            load_checkpoint_sharded,
+            sharded_checkpoint_dir,
         )
+
+        tcfg = self.cfg.text2semantic.train
+        step = latest_checkpoint_step(tcfg.expdir)
+        if step is None:
+            return False
+        if sharded_checkpoint_dir(tcfg.expdir, step).exists():
+            templates = {"params": self.system.params}
+            if tcfg.save_opt:
+                templates["opt_state"] = self.opt_state
+            try:
+                restored = load_checkpoint_sharded(tcfg.expdir, step, templates)
+            except KeyError:
+                # checkpoint saved without the opt_state tree
+                restored = load_checkpoint_sharded(
+                    tcfg.expdir, step, {"params": self.system.params}
+                )
+            self.system.params = restored["params"]
+            if restored.get("opt_state") is not None:
+                self.opt_state = restored["opt_state"]
+        else:
+            _, params, opt_state = load_checkpoint(
+                tcfg.expdir, self.system.params,
+                self.opt_state if tcfg.save_opt else None,
+            )
+            self.system.params = params
+            if opt_state is not None:
+                self.opt_state = opt_state
         self.step = step
-        self.system.params = params
-        if opt_state is not None:
-            self.opt_state = opt_state
         meta = load_checkpoint_meta(tcfg.expdir)
         self._epoch = int(meta.get("epoch", 0))
         self._batch_in_epoch = int(meta.get("batch_in_epoch", 0))
@@ -431,11 +468,13 @@ class LMTrainer:
         SIGTERM/SIGINT checkpoints once and returns (train/signals.py)."""
         import time
 
+        from latent_diffusion_speech_tpu.train.debug import check_step, install
         from latent_diffusion_speech_tpu.train.signals import GracefulShutdown
 
         tcfg = self.cfg.text2semantic.train
+        dcfg = getattr(self.cfg, "debug", None)
         last_t = time.time()
-        with (shutdown or GracefulShutdown()) as stop:
+        with (shutdown or GracefulShutdown()) as stop, install(dcfg):
             start_epoch = self._epoch
             for epoch in range(start_epoch, tcfg.epochs):
                 resuming_mid_epoch = epoch == start_epoch and self._batch_in_epoch > 0
@@ -453,6 +492,10 @@ class LMTrainer:
                     device_batch = self.device_put_batch(batch)
                     metrics = self.train_step(device_batch)
                     self._batch_in_epoch += 1
+                    check_step(
+                        dcfg, self.step, self.system.params, metrics["loss"],
+                        batch=device_batch, expdir=tcfg.expdir,
+                    )
                     if logger and self.step % tcfg.interval_log == 0:
                         dt = time.time() - last_t
                         last_t = time.time()

@@ -61,8 +61,8 @@ def main() -> None:
     from latent_diffusion_speech_tpu.parallel.multihost import mesh_spans_processes
     from latent_diffusion_speech_tpu.train import DiffusionTrainer
 
-    if mode == "tp":
-        _run_tp(pid, nproc, outdir)
+    if mode in ("tp", "tp_resume"):
+        _run_tp(pid, nproc, outdir, resume=mode == "tp_resume")
         return
 
     cfg = Config()
@@ -107,8 +107,16 @@ def main() -> None:
         json.dump({"losses": losses, "n_local": n_local}, f)
 
 
-def _run_tp(pid: int, nproc: int, outdir: str) -> None:
-    """Cross-host tensor parallelism: 'model' axis spans the 2 processes."""
+def _run_tp(pid: int, nproc: int, outdir: str, resume: bool = False) -> None:
+    """Cross-host tensor parallelism: 'model' axis spans the 2 processes.
+
+    resume=False: 2 train steps, SHARDED checkpoint save (params span
+    processes, so trainer.save() takes the per-process-shard path), then a
+    3rd continuous step whose loss is the parity target.
+    resume=True (a fresh cluster = the restart): trainer.resume() from the
+    sharded checkpoint, then the same 3rd step — its loss must equal the
+    continuous run's (VERDICT r3 item 3: save->restart->resume parity with
+    the 'model' axis spanning hosts)."""
     import jax
     import numpy as np
 
@@ -163,15 +171,37 @@ def _run_tp(pid: int, nproc: int, outdir: str) -> None:
     batch = {"input_ids": ids, "labels": ids.copy(),
              "attention_mask": np.ones_like(ids)}
 
-    losses = []
-    for step in range(2):
+    def one_step():
         device_batch = trainer.device_put_batch(dict(batch))
         metrics = trainer.train_step(device_batch)
-        losses.append(float(np.asarray(metrics["loss"].addressable_data(0))))
+        return float(np.asarray(metrics["loss"].addressable_data(0)))
 
-    # save() allgathers cross-host shards on every rank, writes on rank 0
+    if resume:
+        # the restart: a fresh cluster restores the cross-host-sharded
+        # checkpoint (each leaf placed back under the trainer's sharding)
+        # and replays step 3
+        assert trainer.resume(), "resume() found no checkpoint"
+        assert trainer.step == 2, trainer.step
+        sharded = [
+            p for p in jax.tree_util.tree_leaves(trainer.system.params)
+            if isinstance(p, jax.Array) and not p.is_fully_addressable
+            and not p.is_fully_replicated
+        ]
+        assert sharded, "restored params lost their cross-host sharding"
+        loss3 = one_step()
+        with open(os.path.join(outdir, f"loss_tp_resume_{pid}.json"), "w") as f:
+            json.dump({"loss3": loss3}, f)
+        return
+
+    losses = [one_step() for _ in range(2)]
+
+    # params span processes -> save() writes the SHARDED format
+    # (shard_p<k>.npz per process + rank-0 index.json, barriers inside)
     trainer.save()
     sync_global_devices("after-tp-save")
+
+    # continuous step 3: the parity target for the resumed run
+    losses.append(one_step())
 
     with open(os.path.join(outdir, f"loss_tp_{pid}.json"), "w") as f:
         json.dump({"losses": losses}, f)

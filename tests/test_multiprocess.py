@@ -151,9 +151,41 @@ def test_two_process_cross_host_tensor_parallel(tmp_path):
     np.testing.assert_allclose(results[0]["losses"], results[1]["losses"], rtol=0, atol=0)
     assert all(np.isfinite(results[0]["losses"]))
 
-    # rank-0-gated checkpoint, written from allgathered cross-host shards
-    ckpts = list((tmp_path / "exp_tp").glob("model_*.ckpt"))
-    assert len(ckpts) == 1, ckpts
+    # params span processes -> the SHARDED format: one chunk file per
+    # process + the rank-0 index (train/sharded_checkpoint.py)
+    from latent_diffusion_speech_tpu.train.sharded_checkpoint import (
+        sharded_checkpoint_dir,
+    )
+
+    ckpt_dir = sharded_checkpoint_dir(tmp_path / "exp_tp", 2)
+    assert ckpt_dir.is_dir(), list((tmp_path / "exp_tp").iterdir())
+    assert (ckpt_dir / "index.json").exists()
+    assert (ckpt_dir / "shard_p0.npz").exists() and (ckpt_dir / "shard_p1.npz").exists()
+    assert not list((tmp_path / "exp_tp").glob("model_*.ckpt"))
+
+    # restart: a FRESH 2-process cluster resumes from the sharded checkpoint
+    # and replays step 3 — bitwise the same loss as the continuous run
+    port2 = _free_port()
+    procs2 = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "_mp_worker.py"),
+             str(pid), "2", str(port2), str(tmp_path), "tp_resume"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    for p in procs2:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs2:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"tp_resume worker failed:\n{out[-4000:]}"
+    resumed = [json.loads((tmp_path / f"loss_tp_resume_{i}.json").read_text())
+               for i in range(2)]
+    assert resumed[0]["loss3"] == resumed[1]["loss3"]
+    np.testing.assert_allclose(resumed[0]["loss3"], results[0]["losses"][2], rtol=0, atol=0)
 
     # single-process reference: same dp2 x tp2 mesh shape, same batch
     import jax
@@ -178,12 +210,12 @@ def test_two_process_cross_host_tensor_parallel(tmp_path):
     batch = {"input_ids": ids, "labels": ids.copy(), "attention_mask": np.ones_like(ids)}
     ref_losses = [
         float(trainer.train_step(trainer.device_put_batch(dict(batch)))["loss"])
-        for _ in range(2)
+        for _ in range(3)
     ]
     np.testing.assert_allclose(results[0]["losses"], ref_losses, rtol=2e-5)
 
-    # the checkpoint loads into a fresh single-process trainer (the gathered
-    # global params round-trip)
+    # the sharded checkpoint loads into a fresh single-process trainer on a
+    # DIFFERENT mesh layout (dp4) — the re-sharding restore path
     cfg2 = Config()
     m2 = cfg2.text2semantic.model
     m2.type = "llama"
