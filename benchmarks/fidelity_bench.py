@@ -32,7 +32,10 @@ from pathlib import Path
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")  # torch comparison: no TPU needed
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")  # torch comparison: no TPU needed
+else:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -221,6 +224,46 @@ def main():
     latent_err = float(np.max(np.abs(mel_jax - mel_ref)))
     wav_err = float(np.max(np.abs(wav_jax - wav_ref)))
 
+    # ---- bf16 SHIPPING configuration row ------------------------------------
+    # The serve chain behind the headline RTF runs dtype=bf16 modules
+    # (bench.py build_pipeline); measure ITS fidelity vs the same torch f32
+    # reference, same weights, same x_T — through the serve-facing system
+    # objects rather than raw module calls.  "--tpu" runs it on the chip the
+    # number ships on (bf16 rounding is hardware-exact there).
+    from latent_diffusion_speech_tpu.models.diffusion import Unit2MelSystem
+
+    system_bf16 = Unit2MelSystem(cfg, params=params, dtype=jnp.bfloat16)
+    gen_bf16 = JaxGenerator(vcfg, dtype=jnp.bfloat16)
+
+    def bf16_chain(params, gen_params, units, spk_id, x_init):
+        mel = system_bf16.infer(
+            units, jax.random.PRNGKey(0), spk_id=spk_id, method="dpm-solver",
+            infer_speedup=STEPS_SPEEDUP, params=params, x_init=x_init,
+        )
+        wav = gen_bf16.apply({"params": gen_params}, mel)
+        return mel, wav
+
+    t0 = time.time()
+    mel_b, wav_b = jax.jit(bf16_chain)(
+        params, gen_params, jnp.asarray(units),
+        jnp.asarray(spk.astype(np.int32)), x_init,
+    )
+    mel_b = np.asarray(mel_b, np.float32)
+    wav_b = np.asarray(wav_b, np.float32)
+    bf16_sample_s = time.time() - t0
+    logmel_b = np.asarray(melspec(jnp.asarray(wav_b))).transpose(0, 2, 1)
+    bf16_row = {
+        "mcd_db": round(float(mcd(jnp.asarray(logmel_b), jnp.asarray(logmel_ref))), 6),
+        "lsd_db": round(float(log_spectral_distance(
+            jnp.asarray(logmel_b), jnp.asarray(logmel_ref))), 6),
+        "latent_max_abs_err": float(np.max(np.abs(mel_b - mel_ref))),
+        "wav_max_abs_err": float(np.max(np.abs(wav_b - wav_ref))),
+        "platform": jax.devices()[0].platform,
+        "wall_s_incl_compile": round(bf16_sample_s, 3),
+        "config": "dtype=bfloat16 modules end-to-end (serve build_pipeline "
+                  "config), same weights + same x_T as the f32 row",
+    }
+
     result = {
         "metric": "e2e_mel_mcd_vs_torch_reference",
         "value": round(mcd_db, 6),
@@ -239,6 +282,7 @@ def main():
             "same_initial_noise": True,
             "ref_sample_wall_s": round(ref_sample_s, 3),
             "jax_sample_wall_s_incl_compile": round(jax_sample_s, 3),
+            "bf16_shipping": bf16_row,
             "weights": {"diffusion": real.get("diffusion", "synthesized"),
                         "vocoder": real.get("vocoder", "synthesized")},
             "note": ("REAL pretrained weights" if real else

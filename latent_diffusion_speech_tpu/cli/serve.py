@@ -119,6 +119,10 @@ def make_handler(tts_server, timeout_s: float = 300.0, auth_token: str | None = 
                         f"tts_audio_seconds_served_total {tts_server.audio_seconds_served:.6f}",
                         "# TYPE tts_queue_depth gauge",
                         f"tts_queue_depth {tts_server.queue_depth()}",
+                        "# TYPE tts_queue_wait_seconds_total counter",
+                        f"tts_queue_wait_seconds_total {tts_server.queue_wait_seconds_total:.6f}",
+                        "# TYPE tts_queue_wait_count counter",
+                        f"tts_queue_wait_count {tts_server.queue_wait_count}",
                         "# TYPE tts_uptime_seconds gauge",
                         f"tts_uptime_seconds {time.monotonic() - started:.3f}",
                     ]

@@ -48,6 +48,8 @@ def main():
         process_index=process_index(),
         process_count=process_count(),
         cache=tcfg.cache_all_data,
+        device_collate=tcfg.device_collate,
+        transfer_dtype=tcfg.transfer_dtype,
     )
     loader = DataLoader(dataset, tcfg.batch_size, shuffle=True, seed=tcfg.seed)
     # rank-0-only logging (reference: Saver_empty on non-main ranks)

@@ -151,6 +151,13 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"
     seed: int = 0
     ema_decay: float = 0.0  # >0 enables a params EMA for eval/serve
+    # device_collate: host ships raw cropped features (mel stats + native-rate
+    # units + gather index); latent sampling/alignment/clamp run fused inside
+    # the jitted step — ~2x less host work and host->device bytes
+    device_collate: bool = False
+    # transfer_dtype: narrow the units payload on host (e.g. "bfloat16" —
+    # the model casts to bf16 at its first matmul anyway); None ships f32
+    transfer_dtype: Optional[str] = None
 
 
 @dataclass

@@ -45,6 +45,8 @@ class TTSRequest:
     spk_id: int = 1
     seed: int = 0
     future: Future = field(default_factory=Future)
+    # monotonic admission time; dispatch latency = batch start - t_submit
+    t_submit: float = 0.0
 
 
 class TTSServer:
@@ -87,6 +89,12 @@ class TTSServer:
         self.requests_rejected = 0
         self.batch_seconds_total = 0.0  # wall time spent inside tts_batch
         self.audio_seconds_served = 0.0
+        # queue-wait observability: admission -> batch-dispatch latency
+        self.queue_wait_seconds_total = 0.0
+        self.queue_wait_count = 0
+        from collections import deque
+
+        self._recent_waits: "deque[float]" = deque(maxlen=4096)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -106,9 +114,12 @@ class TTSServer:
         are — a partial admit would synthesize audio the caller, having seen
         the rejection, will never collect.  Piece i gets seed+i so unlike
         seeds keep dispatching separately (see _collect)."""
+        import time as _time
+
         spk_ids = spk_ids if spk_ids is not None else [1] * len(texts)
+        now = _time.monotonic()
         reqs = [
-            TTSRequest(t, language, s, seed + i)
+            TTSRequest(t, language, s, seed + i, t_submit=now)
             for i, (t, s) in enumerate(zip(texts, spk_ids))
         ]
         with self._lifecycle:
@@ -128,6 +139,12 @@ class TTSServer:
     def queue_depth(self) -> int:
         """Requests submitted but not yet dispatched (approximate)."""
         return self._queue.qsize() + (1 if self._pending is not None else 0)
+
+    def queue_wait_recent(self) -> "list[float]":
+        """Snapshot of the most recent admission->dispatch waits (seconds,
+        up to 4096) for percentile reporting; totals are on
+        queue_wait_seconds_total / queue_wait_count."""
+        return list(self._recent_waits)
 
     def close(self):
         """Drain outstanding requests, then stop the dispatch thread."""
@@ -191,6 +208,11 @@ class TTSServer:
                 import time as _time
 
                 t0 = _time.monotonic()
+                for r in batch:
+                    w = t0 - r.t_submit if r.t_submit else 0.0
+                    self.queue_wait_seconds_total += w
+                    self.queue_wait_count += 1
+                    self._recent_waits.append(w)
                 try:
                     results = self.pipeline.tts_batch(
                         [r.text for r in batch],

@@ -133,17 +133,21 @@ class GaussianDiffusion:
         infer_speedup: int = 10,
         k_step: Optional[int] = None,
         gt_spec: Optional[jnp.ndarray] = None,
+        x_init: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Generate spec (B, T, M) from condition (B, T, H).
 
         With gt_spec + k_step: shallow diffusion from q_sample(gt, k_step-1)
         (ref diffusion.py:205-212); else from pure noise at t = k_step.
+        x_init overrides the drawn x_T (same-noise fidelity comparisons).
         """
         B, T = cond.shape[0], cond.shape[1]
         t_max = k_step if (gt_spec is not None and k_step is not None) else self.k_step
 
         rng, sub = jax.random.split(rng)
-        if gt_spec is None or k_step is None:
+        if x_init is not None:
+            x = x_init.astype(cond.dtype)
+        elif gt_spec is None or k_step is None:
             x = jax.random.normal(sub, (B, T, self.out_dims), cond.dtype)
         else:
             norm = self.norm_spec(gt_spec)

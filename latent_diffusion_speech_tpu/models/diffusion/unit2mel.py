@@ -293,10 +293,11 @@ class Unit2MelSystem:
         gt_spec=None,
         k_step=None,
         params=None,
+        x_init=None,
     ):
         params = params if params is not None else self.params
         cond = self.condition(units, volume, spk_id, aug_shift, params=params)
         return self.diffusion.sample(
             params, cond, rng, method=method, infer_speedup=infer_speedup,
-            k_step=k_step, gt_spec=gt_spec,
+            k_step=k_step, gt_spec=gt_spec, x_init=x_init,
         )

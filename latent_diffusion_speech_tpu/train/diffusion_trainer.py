@@ -134,9 +134,35 @@ class DiffusionTrainer:
         param_shardings = self.param_shardings
 
         vq = self._vq
+        vcfg = self.cfg.common.vocoder
+        only_mean, clamp = bool(vcfg.only_mean), float(vcfg.clamp)
+
+        def finalize(batch, rng):
+            """Device-side batch finalization for device_collate loaders
+            (data/diffusion_dataset.py _fast_batch_raw): nearest alignment of
+            native-rate units to the mel grid, latent sampling
+            z = m + eps*exp(logs), clamp — fused into the step by XLA.
+            Host-collated batches pass through untouched."""
+            if "units_raw" not in batch:
+                return batch["units"], batch["mel"], rng
+            units = jnp.take_along_axis(
+                batch["units_raw"].astype(jnp.float32),
+                batch["unit_idx"][..., None],
+                axis=1,
+            )
+            stats = batch["mel_stats"]
+            m, logs = jnp.split(stats, 2, axis=-1)
+            if only_mean:
+                mel = m
+            else:
+                rng, r_lat = jax.random.split(rng)
+                mel = m + jax.random.normal(r_lat, m.shape, m.dtype) * jnp.exp(logs)
+            if clamp and clamp > 0:
+                mel = jnp.clip(mel, -clamp, clamp)
+            return units, mel, rng
 
         def loss_fn(params, batch, rng, vq_state):
-            units = batch["units"]
+            units, mel, rng = finalize(batch, rng)
             commit = 0.0
             new_vq_state = vq_state
             if vq is not None:
@@ -146,7 +172,7 @@ class DiffusionTrainer:
             diff_loss = system.loss(
                 params,
                 units,
-                batch["mel"],
+                mel,
                 rng,
                 spk_id=batch["spk_id"],
                 aug_shift=batch.get("aug_shift"),
@@ -365,7 +391,7 @@ class DiffusionTrainer:
         None when the backend exposes no cost analysis or peak is unknown."""
         from latent_diffusion_speech_tpu.utils.flops import device_peak_flops
 
-        shape_key = tuple(batch["mel"].shape)
+        shape_key = tuple((k,) + tuple(v.shape) for k, v in sorted(batch.items()))
         if not hasattr(self, "_step_flops"):
             self._step_flops = {}
             self._peak_flops = device_peak_flops(jax.devices()[0])
@@ -417,7 +443,7 @@ class DiffusionTrainer:
                     # (seed, step) — identical across resumes and restarts
                     sub = jax.random.fold_in(base_rng, self.step)
                     device_batch = self.device_put_batch(batch)
-                    batch_size = int(device_batch["mel"].shape[0])
+                    batch_size = int(next(iter(device_batch.values())).shape[0])
                     metrics = self.train_step(device_batch, sub)
                     self._batch_in_epoch += 1
                     check_step(
