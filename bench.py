@@ -74,7 +74,7 @@ def build_pipeline():
     return TTSPipeline(diffusion, vocoder, lm=lm, codebook=codebook)
 
 
-def probe_devices(timeout_s: float = 240.0):
+def probe_devices(timeout_s: float = 240.0, metric: str = "serve_rtf_chained"):
     """Initialize the device backend with a watchdog.
 
     The image's TPU-relay PJRT plugin blocks indefinitely inside client
@@ -99,7 +99,7 @@ def probe_devices(timeout_s: float = 240.0):
     th.join(timeout_s)
     if "devices" not in out:
         print(json.dumps({
-            "metric": "serve_rtf_chained", "value": None, "unit": "RTF",
+            "metric": metric, "value": None, "unit": "RTF",
             "vs_baseline": None,
             "detail": {"error": out.get(
                 "error", f"device backend unreachable after {timeout_s:.0f}s "

@@ -36,6 +36,10 @@ if "--tpu" not in sys.argv:
     jax.config.update("jax_platforms", "cpu")  # torch comparison: no TPU needed
 else:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from bench import probe_devices
+
+    probe_devices(metric="fidelity_bench")  # fail fast if the relay is wedged
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

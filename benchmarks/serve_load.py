@@ -33,6 +33,14 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
+import sys
+from pathlib import Path as _Path
+
+sys.path.insert(0, str(_Path(__file__).parent.parent))
+from bench import probe_devices
+
+probe_devices(metric="serve_load")  # fail fast if the relay is wedged
+
 import jax.numpy as jnp
 import numpy as np
 

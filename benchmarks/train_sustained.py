@@ -301,6 +301,14 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    # fail fast (with a parseable error line) instead of hanging forever if
+    # the TPU relay is wedged — the relay PJRT plugin blocks indefinitely
+    # inside client construction when the remote end is unreachable
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from bench import probe_devices
+
+    probe_devices(metric="train_sustained")
     import jax.numpy as jnp
 
     from latent_diffusion_speech_tpu.config import Config

@@ -26,6 +26,14 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
+import sys  # noqa: E402
+from pathlib import Path as _Path  # noqa: E402
+
+sys.path.insert(0, str(_Path(__file__).parent.parent))
+from bench import probe_devices  # noqa: E402
+
+probe_devices(metric="trainer_bench")  # fail fast if the relay is wedged
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 

@@ -332,9 +332,19 @@ class DiffusionDataset:
             unit_starts.append(u_start)
 
         stats = reader.read_batch(mel_paths, mel_starts, F, (2 * mel_dim,))
-        units_raw = reader.read_batch(unit_paths, unit_starts, U, (unit_dim,))
-        if self.transfer_dtype is not None:
-            units_raw = units_raw.astype(self.transfer_dtype)
+        if (
+            self.transfer_dtype is not None
+            and self.transfer_dtype.name == "bfloat16"
+            and hasattr(reader, "read_batch_bf16")
+        ):
+            # fused converting read: the C++ pass writes bf16 directly (RNE,
+            # identical to .astype(ml_dtypes.bfloat16)) — no numpy cast pass
+            units_raw = reader.read_batch_bf16(unit_paths, unit_starts, U,
+                                               (unit_dim,))
+        else:
+            units_raw = reader.read_batch(unit_paths, unit_starts, U, (unit_dim,))
+            if self.transfer_dtype is not None:
+                units_raw = units_raw.astype(self.transfer_dtype)
 
         # vectorized nearest-alignment indices, local to each read window
         t = np.arange(F)[None, :]

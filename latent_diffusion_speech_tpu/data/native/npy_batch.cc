@@ -166,6 +166,82 @@ int npy_probe(const char* path, uint64_t* rows, uint64_t* row_bytes, char* dtype
   return 0;
 }
 
+// Read rows [start, start+count) of each f32 file, converting to bfloat16
+// (round-to-nearest-even, matching ml_dtypes/XLA) fused into the read pass:
+// each worker preads into a thread-local f32 staging buffer and writes bf16
+// to out + i*count*row_bytes_f32/2.  Saves the separate numpy astype pass
+// (and its extra full-size write) that a read-then-cast host pipeline pays.
+// Same failure contract as npy_read_batch.
+int npy_read_batch_bf16(void* pool_ptr, const char** paths,
+                        const int64_t* starts, int64_t count, int64_t n_files,
+                        uint64_t row_bytes_f32, unsigned char* out) {
+  auto* pool = static_cast<ThreadPool*>(pool_ptr);
+  std::atomic<int64_t> failed{0};
+  std::atomic<int64_t> remaining{n_files};
+  std::mutex done_mu;
+  std::condition_variable done_cv;
+
+  for (int64_t i = 0; i < n_files; ++i) {
+    pool->submit([&, i] {
+      int fd = open(paths[i], O_RDONLY);
+      bool ok = fd >= 0;
+      if (ok) {
+        NpyInfo info = parse_header(fd);
+        ok = info.ok && info.dtype == 'f' && info.row_bytes == row_bytes_f32 &&
+             (uint64_t)(starts[i] + count) <= info.rows;
+        if (ok) {
+          uint64_t nbytes = (uint64_t)count * row_bytes_f32;
+          uint64_t off = info.header_bytes + (uint64_t)starts[i] * row_bytes_f32;
+          uint16_t* dst =
+              reinterpret_cast<uint16_t*>(out + (uint64_t)i * (nbytes / 2));
+          // stream in L2-sized chunks: pread f32 -> convert -> bf16 out
+          constexpr uint64_t kChunk = 1 << 18;  // 256 KiB staging
+          thread_local std::vector<unsigned char> stage;
+          if (stage.size() < kChunk) stage.resize(kChunk);
+          uint64_t done = 0;
+          while (ok && done < nbytes) {
+            uint64_t want = nbytes - done < kChunk ? nbytes - done : kChunk;
+            uint64_t got = 0;
+            while (got < want) {
+              ssize_t r = pread(fd, stage.data() + got, want - got,
+                                off + done + got);
+              if (r <= 0) { ok = false; break; }
+              got += r;
+            }
+            if (!ok) break;
+            const uint32_t* src = reinterpret_cast<const uint32_t*>(stage.data());
+            uint64_t n = want / 4;
+            uint16_t* o = dst + done / 4;
+            for (uint64_t k = 0; k < n; ++k) {
+              uint32_t u = src[k];
+              if ((u & 0x7FFFFFFFu) > 0x7F800000u) {
+                o[k] = (uint16_t)((u >> 16) | 0x0040);  // quiet NaN
+              } else {
+                uint32_t bias = 0x7FFFu + ((u >> 16) & 1u);  // RNE
+                o[k] = (uint16_t)((u + bias) >> 16);
+              }
+            }
+            done += want;
+          }
+        }
+        close(fd);
+      }
+      if (!ok) {
+        int64_t expected = 0;
+        failed.compare_exchange_strong(expected, i + 1);
+      }
+      if (remaining.fetch_sub(1) == 1) {
+        std::lock_guard<std::mutex> lk(done_mu);
+        done_cv.notify_one();
+      }
+    });
+  }
+
+  std::unique_lock<std::mutex> lk(done_mu);
+  done_cv.wait(lk, [&] { return remaining.load() == 0; });
+  return failed.load() ? (int)-failed.load() : 0;
+}
+
 // Read rows [start, start+count) of each file into out + i*count*row_bytes.
 // All files must share row_bytes (checked).  Returns 0 on success, else the
 // (1-based) index of the first failing file negated.

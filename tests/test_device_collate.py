@@ -108,6 +108,12 @@ class TestRawParity:
             np.asarray(raw["units_raw"], np.float32), host["units_raw"],
             rtol=8e-3, atol=8e-3,
         )
+        # and the fused C++ converting read is BIT-identical to the numpy
+        # astype of the f32 read (both round-to-nearest-even)
+        np.testing.assert_array_equal(
+            raw["units_raw"].view(np.uint16),
+            host["units_raw"].astype(ml_dtypes.bfloat16).view(np.uint16),
+        )
 
 
 class TestTrainerIntegration:

@@ -67,6 +67,34 @@ class TestNativeReader:
         with pytest.raises(OSError):
             reader.read_batch([tmp_path / "d.npy"], [0], 2, (8,))
 
+    def test_bf16_converting_read_matches_astype(self, tmp_path, reader, rng):
+        """The fused f32->bf16 read must be bit-identical to numpy's
+        .astype(ml_dtypes.bfloat16) (both round-to-nearest-even), including
+        specials (inf, nan, subnormals, exact halfway mantissas)."""
+        import ml_dtypes
+
+        files, starts, ref = [], [], []
+        for i in range(4):
+            arr = (rng.standard_normal((60 + i, 16)) * 10).astype(np.float32)
+            # salt with specials and RNE-halfway cases
+            arr[0, :8] = [0.0, -0.0, np.inf, -np.inf, np.nan, 1e-40, -1e-40, 3.0]
+            arr[1, 0] = np.float32(1.0 + 2**-8)       # ties-to-even boundary
+            arr[1, 1] = np.float32(1.0 + 3 * 2**-9)   # rounds up
+            np.save(tmp_path / f"bf_{i}.npy", arr)
+            files.append(tmp_path / f"bf_{i}.npy")
+            starts.append(i)
+            ref.append(arr[i : i + 40].astype(ml_dtypes.bfloat16))
+        out = reader.read_batch_bf16(files, starts, 40, (16,))
+        assert out.dtype == ml_dtypes.bfloat16
+        np.testing.assert_array_equal(
+            out.view(np.uint16), np.stack(ref).view(np.uint16)
+        )
+
+    def test_bf16_read_rejects_non_f32(self, tmp_path, reader, rng):
+        np.save(tmp_path / "i4.npy", rng.integers(0, 9, (10, 4)).astype(np.int32))
+        with pytest.raises(OSError):
+            reader.read_batch_bf16([tmp_path / "i4.npy"], [0], 2, (4,))
+
     def test_faster_than_python_loop(self, tmp_path, reader, rng):
         """Sanity: parallel native read of many files should not be slower than
         sequential np.load by a large margin (usually much faster)."""
