@@ -205,11 +205,25 @@ def sustained(trainer, B: int, min_s: float, interval_val: int,
     val_loader = make_loader(8, split="val")
     rec = _Recorder()
 
+    # Pre-warm every program the loop will hit, OUTSIDE the measured/deadline
+    # window: the train step, the _step_mfu cost-analysis lowering (a full
+    # remote compile — minutes through the relay on this host), and the
+    # validation + checkpoint-save path.  In production these compiles
+    # amortize over days; in a 60 s window they would *be* the measurement.
+    probe = next(iter(loader))
+    rng0 = jax.random.PRNGKey(0)
+    trainer.train_step(probe, rng0)
+    trainer._step_mfu(probe, rng0, 1.0)
+    trainer.validate_full(val_loader, rng0, logger=None)
+    trainer.save()
+
     # warm: compile + relay priming happens inside train() on the first steps;
     # the measured window starts at the first logged step >= warm_steps
     warm_steps = 40
-    t_start = time.perf_counter()
-    deadline = t_start + min_s + 420  # generous: compile + warm + window
+    # the deadline clock starts AFTER the first step returns — remote
+    # compilation of a fresh step program (minutes through the relay's
+    # remote-compile path) must not eat the measurement window
+    deadline = None
 
     class _Stop:  # GracefulShutdown duck-type with a wall-clock bound
         requested = False
@@ -225,10 +239,22 @@ def sustained(trainer, B: int, min_s: float, interval_val: int,
     state = {"n": 0}
 
     def counting_step(batch, rng):
+        nonlocal deadline
         state["n"] += 1
-        if time.perf_counter() > deadline:
+        if deadline is not None and time.perf_counter() > deadline:
             stop.requested = True
-        return orig_step(batch, rng)
+        # primary exit: the steady window is long enough (compile/priming and
+        # the first val's own remote compile simply shift the window start)
+        trs = [r for r in rec.rows if "train/samples_per_sec" in r[2]]
+        if len(trs) >= 2:
+            first_step = trs[0][0] - tcfg.interval_log
+            win = [r for r in trs if r[0] - first_step >= warm_steps]
+            if len(win) >= 2 and win[-1][1] - win[0][1] >= min_s:
+                stop.requested = True
+        out = orig_step(batch, rng)
+        if deadline is None:  # first step done: compile is behind us
+            deadline = time.perf_counter() + max(6 * min_s, 1200.0)
+        return out
 
     trainer.train_step = counting_step
     try:
