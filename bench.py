@@ -401,10 +401,50 @@ def main():
                             "stage times + train step are chained-amortized "
                             "(relay round-trip excluded), serve latency is not",
                     "device": str(jax.devices()[0]),
+                    "measured_artifacts": _artifact_summary(),
                 },
             }
         )
     )
+
+
+def _artifact_summary():
+    """Key numbers from the standalone on-chip benches (benchmarks/*.json),
+    inlined so one bench line carries the round's whole evidence trail."""
+    import os
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks")
+
+    def get(name, *path):
+        try:
+            with open(os.path.join(base, name)) as f:
+                cur = json.load(f)
+            for k in path:
+                cur = cur[k]
+            return cur
+        except Exception:
+            return None
+
+    return {
+        "fidelity_mcd_db_bf16_shipping": get(
+            "FIDELITY.json", "detail", "bf16_shipping", "mcd_db"),
+        "fidelity_mcd_db_f32": get("FIDELITY.json", "value"),
+        "codec_gan_step_s_b16": get("TRAINER_BENCH.json", "codec", "step_s"),
+        "codec_gan_mfu": get("TRAINER_BENCH.json", "codec", "mfu"),
+        "lm_train_tokens_per_s_b100": get(
+            "TRAINER_BENCH.json", "lm_roformer", "tokens_per_s"),
+        "diffusion_b500_samples_per_s": get(
+            "TRAINER_BENCH.json", "diffusion_b500_reference_batch", "samples_per_s"),
+        "serve_long_rtf_under_load": get(
+            "SERVE_LOAD_LONG.json", "load", "serve_rtf_under_load"),
+        "serve_long_p99_s": get("SERVE_LOAD_LONG.json", "load", "latency_s", "p99"),
+        "sustained_b256_samples_per_s": get(
+            "TRAIN_SUSTAINED.json", "b256_device_collate_bf16",
+            "sustained_samples_per_s"),
+        "sustained_note": "tunnel-transfer-bound in this environment; see "
+                          "TRAIN_SUSTAINED.json bottleneck_decomposition",
+        "ja_g2p_heldout_acc": get("JA_G2P_EVAL.json", "heldout", "phone_accuracy"),
+    }
 
 
 if __name__ == "__main__":
