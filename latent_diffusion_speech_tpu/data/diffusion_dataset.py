@@ -80,6 +80,10 @@ class DiffusionDataset:
             import ml_dtypes
 
             transfer_dtype = np.dtype(getattr(ml_dtypes, transfer_dtype))
+        elif transfer_dtype is not None:
+            # normalize type objects (e.g. ml_dtypes.bfloat16) too, so the
+            # fused-read gate's `.name` check works for every documented form
+            transfer_dtype = np.dtype(transfer_dtype)
         self.transfer_dtype = transfer_dtype
 
         if n_spk and n_spk > 1 and self.spk_map and max(self.spk_map.values()) > n_spk:

@@ -215,7 +215,10 @@ int npy_read_batch_bf16(void* pool_ptr, const char** paths,
             for (uint64_t k = 0; k < n; ++k) {
               uint32_t u = src[k];
               if ((u & 0x7FFFFFFFu) > 0x7F800000u) {
-                o[k] = (uint16_t)((u >> 16) | 0x0040);  // quiet NaN
+                // canonical qNaN, matching ml_dtypes/Eigen (which canonicalize
+                // every NaN payload) so the fused read stays bit-identical to
+                // .astype(ml_dtypes.bfloat16) even for non-canonical inputs
+                o[k] = (u >> 31) ? (uint16_t)0xFFC0 : (uint16_t)0x7FC0;
               } else {
                 uint32_t bias = 0x7FFFu + ((u >> 16) & 1u);  // RNE
                 o[k] = (uint16_t)((u + bias) >> 16);

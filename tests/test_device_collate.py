@@ -115,6 +115,18 @@ class TestRawParity:
             host["units_raw"].astype(ml_dtypes.bfloat16).view(np.uint16),
         )
 
+    def test_transfer_dtype_accepts_type_object(self, pipeline_dir):
+        # the documented alternative form: passing ml_dtypes.bfloat16 itself
+        # (not a str) must normalize to np.dtype and hit the fused-read path
+        import ml_dtypes
+
+        ds = _dataset(
+            pipeline_dir, device_collate=True, transfer_dtype=ml_dtypes.bfloat16
+        )
+        assert ds.transfer_dtype == np.dtype(ml_dtypes.bfloat16)
+        raw = ds.fast_batch([0, 1])
+        assert raw["units_raw"].dtype == ml_dtypes.bfloat16
+
 
 class TestTrainerIntegration:
     def _trainer(self, tmp_path, only_mean=True):

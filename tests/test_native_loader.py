@@ -80,6 +80,11 @@ class TestNativeReader:
             arr[0, :8] = [0.0, -0.0, np.inf, -np.inf, np.nan, 1e-40, -1e-40, 3.0]
             arr[1, 0] = np.float32(1.0 + 2**-8)       # ties-to-even boundary
             arr[1, 1] = np.float32(1.0 + 3 * 2**-9)   # rounds up
+            # non-canonical NaN payloads (sNaN bit patterns): ml_dtypes
+            # canonicalizes every NaN to +/-0x7FC0 — the fused read must too
+            arr[1, 2:4] = np.array([0x7F800001, 0xFF923456], np.uint32).view(
+                np.float32
+            )
             np.save(tmp_path / f"bf_{i}.npy", arr)
             files.append(tmp_path / f"bf_{i}.npy")
             starts.append(i)
