@@ -24,9 +24,18 @@ def test_dev_accuracy_floor():
 
 
 def test_heldout_accuracy_floor():
+    # Round 5 grew the heldout split 15 -> 115 sentences across four
+    # registers (conjugation-heavy, katakana loans, numbers+counters,
+    # conversational) — VERDICT r4 item 4: the old 15-sentence set had
+    # saturated at 1.0 and measured nothing.  Measured once after
+    # authoring (2026-08-21): phone_accuracy 0.9387, 60/115 exact;
+    # residual gaps are morphology-free number/counter readings and
+    # unseen kanji compounds (see JA_G2P_EVAL.json worst list).  Floor
+    # pinned slightly below the measured value; the corpus is NEVER
+    # tuned on — table growth must come from dev-split iteration.
     r = eval_split(load_fixture()["heldout"])
-    assert r["sentences"] == 15
-    assert r["phone_accuracy"] >= 0.98, r
+    assert r["sentences"] == 115
+    assert r["phone_accuracy"] >= 0.93, r
 
 
 def test_mechanisms():
