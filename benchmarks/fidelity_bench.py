@@ -268,6 +268,44 @@ def main():
                   "config), same weights + same x_T as the f32 row",
     }
 
+    # ---- int8 weight-quant row ----------------------------------------------
+    # The serve-candidate configuration: bf16 modules + int8-quantized UNet
+    # matmul kernels dequantized inside the sampler scan (ops/weight_quant.py).
+    # Same weights + same x_T; its MCD must stay inside the 0.5 dB budget for
+    # int8 to be adoptable (benchmarks/int8_serve_ab.py carries the speed A/B).
+    system_int8 = Unit2MelSystem(
+        cfg, params=params, dtype=jnp.bfloat16, weight_quant="int8"
+    )
+
+    def int8_chain(params, gen_params, units, spk_id, x_init):
+        mel = system_int8.infer(
+            units, jax.random.PRNGKey(0), spk_id=spk_id, method="dpm-solver",
+            infer_speedup=STEPS_SPEEDUP, params=params, x_init=x_init,
+        )
+        wav = gen_bf16.apply({"params": gen_params}, mel)
+        return mel, wav
+
+    t0 = time.time()
+    mel_q, wav_q = jax.jit(int8_chain)(
+        params, gen_params, jnp.asarray(units),
+        jnp.asarray(spk.astype(np.int32)), x_init,
+    )
+    mel_q = np.asarray(mel_q, np.float32)
+    wav_q = np.asarray(wav_q, np.float32)
+    int8_sample_s = time.time() - t0
+    logmel_q = np.asarray(melspec(jnp.asarray(wav_q))).transpose(0, 2, 1)
+    int8_row = {
+        "mcd_db": round(float(mcd(jnp.asarray(logmel_q), jnp.asarray(logmel_ref))), 6),
+        "lsd_db": round(float(log_spectral_distance(
+            jnp.asarray(logmel_q), jnp.asarray(logmel_ref))), 6),
+        "latent_max_abs_err": float(np.max(np.abs(mel_q - mel_ref))),
+        "wav_max_abs_err": float(np.max(np.abs(wav_q - wav_ref))),
+        "platform": jax.devices()[0].platform,
+        "wall_s_incl_compile": round(int8_sample_s, 3),
+        "config": "dtype=bfloat16 modules + weight_quant='int8' UNet sampling "
+                  "(serve candidate), same weights + same x_T as the f32 row",
+    }
+
     result = {
         "metric": "e2e_mel_mcd_vs_torch_reference",
         "value": round(mcd_db, 6),
@@ -287,6 +325,7 @@ def main():
             "ref_sample_wall_s": round(ref_sample_s, 3),
             "jax_sample_wall_s_incl_compile": round(jax_sample_s, 3),
             "bf16_shipping": bf16_row,
+            "int8_shipping": int8_row,
             "weights": {"diffusion": real.get("diffusion", "synthesized"),
                         "vocoder": real.get("vocoder", "synthesized")},
             "note": ("REAL pretrained weights" if real else

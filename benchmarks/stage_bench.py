@@ -14,14 +14,23 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/stage_bench.py
 from __future__ import annotations
 
 import json
+import sys
 import time
+from pathlib import Path
 
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
-import jax.numpy as jnp
-import numpy as np
+sys.path.insert(0, str(Path(__file__).parent.parent))
+from bench import probe_devices  # noqa: E402
+
+probe_devices(metric="stage_bench")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+RECORDS = []  # every emit() row; dumped to STAGE_BENCH.json at the end
 
 
 def timed(fn, *args, n=5):
@@ -59,6 +68,7 @@ def emit(metric, seconds, unit="s", detail=None):
     rec = {"metric": metric, "value": round(seconds, 5), "unit": unit}
     if detail:
         rec["detail"] = detail
+    RECORDS.append(rec)
     print(json.dumps(rec), flush=True)
 
 
@@ -129,6 +139,13 @@ def main():
                                    rng=jax.random.PRNGKey(0)), units_b, n=3)
     audio_s = 4 * 430 * 512 / 44100
     emit("serve_units_to_wav_batch4", t, detail={"batched_rtf": round(t / audio_s, 5)})
+
+    # persist the whole suite (BASELINE.json configs 1-5) as one artifact
+    Path(__file__).parent.joinpath("STAGE_BENCH.json").write_text(json.dumps({
+        "bench": "stage_bench (BASELINE.json config list 1-5)",
+        "device": str(jax.devices()[0]),
+        "stages": RECORDS,
+    }, indent=2))
 
 
 if __name__ == "__main__":

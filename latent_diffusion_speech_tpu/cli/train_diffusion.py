@@ -51,7 +51,8 @@ def main():
         device_collate=tcfg.device_collate,
         transfer_dtype=tcfg.transfer_dtype,
     )
-    loader = DataLoader(dataset, tcfg.batch_size, shuffle=True, seed=tcfg.seed)
+    loader = DataLoader(dataset, tcfg.batch_size, shuffle=True, seed=tcfg.seed,
+                        num_workers=tcfg.loader_processes)
     # rank-0-only logging (reference: Saver_empty on non-main ranks)
     logger = (
         MetricsLogger(tcfg.expdir, config_snapshot=config_to_dict(cfg))

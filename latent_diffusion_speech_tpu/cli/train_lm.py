@@ -61,7 +61,11 @@ def main():
             n_spk=cfg.common.n_spk, process_index=process_index(), process_count=process_count(),
             cache=tcfg.cache_all_data,
         )
-        return DataLoader(ds, tcfg.batch_size, collate=collate, shuffle=shuffle, seed=tcfg.seed)
+        return DataLoader(
+            ds, tcfg.batch_size, collate=collate, shuffle=shuffle, seed=tcfg.seed,
+            num_workers=tcfg.loader_processes,
+            length_sorted=shuffle and getattr(tcfg, "length_sorted", False),
+        )
 
     loader = make_loader(cfg.data.train_path, True)
     val_loader = make_loader(cfg.data.valid_path, False)

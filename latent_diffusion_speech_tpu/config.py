@@ -158,6 +158,12 @@ class TrainConfig:
     # transfer_dtype: narrow the units payload on host (e.g. "bfloat16" —
     # the model casts to bf16 at its first matmul anyway); None ships f32
     transfer_dtype: Optional[str] = None
+    # loader_processes: >0 assembles batches in N spawn worker PROCESSES
+    # (the counterpart of the reference torch DataLoader `num_workers`,
+    # diffusion/data_loaders.py:30-37) — for Python-bound collate stages the
+    # 2-thread pool cannot scale past the GIL.  0 keeps the thread prefetcher
+    # (right when the C++ batched reader does the heavy lifting).
+    loader_processes: int = 0
 
 
 @dataclass
@@ -213,6 +219,14 @@ class LMTrainConfig(TrainConfig):
     units_quantize_type: str = "kmeans"   # kmeans | vq
     use_units_quantize: bool = True
     use_flash_attn: bool = True
+    # length_sorted: batch utterances of similar semantic length together
+    # (pool-local sort + batch-order shuffle, data/loader.py) so the static
+    # pad buckets hug the true lengths — the TPU-side answer to the
+    # reference's flash-attn varlen unpadding
+    # (text2semantic/roformer/roformer_flash_attn.py:110-169), which removes
+    # pad FLOPs via dynamic shapes XLA would retrace on.  Measured in
+    # benchmarks/lm_padding_bench.py.
+    length_sorted: bool = True
 
 
 @dataclass

@@ -93,6 +93,13 @@ class DiffusionDataset:
     # generators — safe for the loader's threaded item assembly
     thread_safe_items = True
 
+    def __getstate__(self):
+        """Picklable for the loader's process workers: the native reader is a
+        ctypes handle — each worker rebuilds its own lazily in fast_batch."""
+        state = self.__dict__.copy()
+        state.pop("_shared_reader", None)
+        return state
+
     def __len__(self) -> int:
         return len(self.paths)
 

@@ -45,6 +45,28 @@ class TextDataset:
     def __len__(self) -> int:
         return len(self.paths)
 
+    def item_lengths(self) -> np.ndarray:
+        """Per-item semantic sequence length (incl. BOS/EOS wrap), from npy
+        headers only — no payload reads.  Drives the loader's length-sorted
+        batching (DataLoader(length_sorted=True)): semantic length dominates
+        the padded compute (448-token bucket vs the 64-token text side), so
+        sorting on it alone removes nearly all pad waste."""
+        if getattr(self, "_item_lengths", None) is None:
+            lens = np.empty(len(self.paths), np.int64)
+            for i, name in enumerate(self.paths):
+                try:
+                    with open(self.root / "semantic_token" / name, "rb") as f:
+                        version = np.lib.format.read_magic(f)
+                        if version >= (2, 0):
+                            shape, _, _ = np.lib.format.read_array_header_2_0(f)
+                        else:
+                            shape, _, _ = np.lib.format.read_array_header_1_0(f)
+                    lens[i] = shape[0] + 2  # + BOS/EOS
+                except (OSError, ValueError):
+                    lens[i] = 0  # unloadable items substitute at __getitem__
+            self._item_lengths = lens
+        return self._item_lengths
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         for attempt in range(len(self.paths)):
             name = self.paths[(idx + attempt) % len(self.paths)]

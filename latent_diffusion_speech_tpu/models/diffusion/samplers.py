@@ -168,9 +168,14 @@ def _data_pred_fn(eps_fn: EpsFn, ns: NoiseSchedule, B: int):
 # ---------------------------------------------------------------------------
 
 def dpmpp_sample(
-    eps_fn: EpsFn, ns: NoiseSchedule, x: jnp.ndarray, steps: int, order: int = 2
+    eps_fn: EpsFn, ns: NoiseSchedule, x: jnp.ndarray, steps: int, order: int = 2,
+    return_trajectory: bool = False,
 ) -> jnp.ndarray:
-    """Multistep DPM-Solver++ orders 1-3 (dpm_solver_pytorch.py:547-955)."""
+    """Multistep DPM-Solver++ orders 1-3 (dpm_solver_pytorch.py:547-955).
+
+    return_trajectory=True additionally returns the (steps, *x.shape) stack of
+    post-update states x_1..x_steps (diagnostics: numerics divergence studies,
+    benchmarks/fidelity_divergence.py)."""
     assert order in (1, 2, 3)
     B = x.shape[0]
     model = _data_pred_fn(eps_fn, ns, B)
@@ -223,14 +228,19 @@ def dpmpp_sample(
         x, m_0, m_1, m_2, h_prev, h_prev2 = carry
         x, h = update(x, m_0, m_1, m_2, h_prev, h_prev2, idx)
         m_new = model(x, ts[idx + 1])
-        return (x, m_new, m_0, m_1, h, h_prev), None
+        return (x, m_new, m_0, m_1, h, h_prev), (x if return_trajectory else None)
 
     one = jnp.array(1.0, lambdas.dtype)
     carry = (x, m0, jnp.zeros_like(m0), jnp.zeros_like(m0), one, one)
+    traj = None
     if steps > 1:
-        carry, _ = jax.lax.scan(step2, carry, jnp.arange(steps - 1))
+        carry, traj = jax.lax.scan(step2, carry, jnp.arange(steps - 1))
     x, m_0, m_1, m_2, h_prev, h_prev2 = carry
     x, _ = update(x, m_0, m_1, m_2, h_prev, h_prev2, jnp.asarray(steps - 1))
+    if return_trajectory:
+        tail = x[None]
+        traj = tail if traj is None else jnp.concatenate([traj, tail], axis=0)
+        return x, traj
     return x
 
 

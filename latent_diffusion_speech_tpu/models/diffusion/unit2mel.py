@@ -183,9 +183,12 @@ class Unit2MelSystem:
         weight_quant: 'int8' stores the UNet's matmul kernels as int8 with
         per-output-channel scales during SAMPLING only; dequant runs inside
         the sampler scan body (behind an optimization barrier) and fuses into
-        the consuming matmuls, halving the per-step HBM weight stream that
-        bounds B=1 serve (ops/weight_quant.py).  Training and p_losses always
-        see full-precision params."""
+        the consuming matmuls, halving the per-step HBM weight stream
+        (ops/weight_quant.py).  Measured round 5: a 3.5% LOSS at the flagship
+        B=1 serve shape — that step is per-op-overhead-bound, not
+        bandwidth-bound (benchmarks/INT8_SERVE_AB.json) — so serve defaults
+        stay bf16; the knob remains for bandwidth-bound geometries.  Training
+        and p_losses always see full-precision params."""
         self.cfg = cfg
         self.dtype = dtype
         self.unet_impl = unet_impl

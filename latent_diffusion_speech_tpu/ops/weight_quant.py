@@ -1,13 +1,22 @@
 """Symmetric per-output-channel int8 weight quantization for serve.
 
-Motivation (measured, see ops/pallas/unet1d_stream.py): the B=1 UNet
-denoiser step is weight-bandwidth-bound — ~187 MB of bf16 weights re-stream
-from HBM on every one of the sampler's 20 steps.  Storing the big matmul
-kernels as int8 (+ one bf16 scale per output channel) halves that traffic;
-the dequant (convert + scale-multiply) fuses into the consuming matmul on
-TPU, so no bf16 copy of the weights is ever materialized — provided the
-dequant happens INSIDE the sampler scan body behind an optimization barrier
-(otherwise XLA hoists it out as loop-invariant and serves bf16 anyway).
+Motivation: the B=1 UNet denoiser step re-streams ~187 MB of bf16 weights
+from HBM on every one of the sampler's 20 steps (ops/pallas/unet1d_stream.py).
+Storing the big matmul kernels as int8 (+ one bf16 scale per output channel)
+halves that traffic; the dequant (convert + scale-multiply) fuses into the
+consuming matmul on TPU, so no bf16 copy of the weights is ever
+materialized — provided the dequant happens INSIDE the sampler scan body
+behind an optimization barrier (otherwise XLA hoists it out as
+loop-invariant and serves bf16 anyway).
+
+MEASURED OUTCOME (round 5, benchmarks/INT8_SERVE_AB.json): int8 is 3.5%
+SLOWER than bf16 at the flagship B=1/T=430 serve shape (16.4 vs 15.8 ms per
+20-step chain) — that step sits at the XLA per-op overhead floor (~100 ops
+x ~8-22 us), not the HBM bound, so halving weight bytes buys nothing and
+the in-scan dequant adds ops.  Fidelity is fine (MCD 0.347 dB on-chip vs
+the 0.5 budget, FIDELITY.json int8_shipping), so the feature stays
+available for bandwidth-bound geometries (bigger UNets / longer T), but
+bf16 remains the serve default.
 
 Quality is a measured contract, not an assumption: `tests/test_weight_quant.py`
 bounds the end-to-end sampler deviation, and `benchmarks/fidelity_bench.py`
