@@ -444,7 +444,43 @@ def _artifact_summary():
         "sustained_note": "tunnel-transfer-bound in this environment; see "
                           "TRAIN_SUSTAINED.json bottleneck_decomposition",
         "ja_g2p_heldout_acc": get("JA_G2P_EVAL.json", "heldout", "phone_accuracy"),
+        # round-5 additions
+        "lm_effective_tokens_per_s_length_sorted": get(
+            "TRAINER_BENCH.json", "lm_padding", "detail", "length_sorted",
+            "effective_tokens_per_s"),
+        "lm_epoch_speedup_length_sorted": get(
+            "TRAINER_BENCH.json", "lm_padding", "detail",
+            "epoch_speedup_length_sorted"),
+        "stage_whisper_extract_xrt": _stage(get, "whisper_units_extract_10s",
+                                            "detail", "xrt"),
+        "stage_kmeans_mframes_per_s": _stage(get, "kmeans_tokenize_30k_frames",
+                                             "detail", "mframes_per_s"),
+        "serve_stream_ttfa_p50_s": get(
+            "SERVE_LOAD_LONG.json", "stream", "ttfa_s", "p50"),
+        "serve_stream_unloaded_ttfa_over_total": get(
+            "SERVE_LOAD_LONG.json", "stream_unloaded", "ttfa_over_total_p50"),
+        "int8_serve_adopted": get("INT8_SERVE_AB.json", "detail", "adopted"),
+        "pipeline_soak_total_s": get("PIPELINE_SOAK.json", "value"),
+        "fidelity_divergence": get("FIDELITY_DIVERGENCE.json", "detail",
+                                   "verdict"),
     }
+
+
+def _stage(get, metric, *path):
+    """Pull one stage row out of STAGE_BENCH.json's stages list."""
+    stages = get("STAGE_BENCH.json", "stages")
+    if not stages:
+        return None
+    for row in stages:
+        if row.get("metric") == metric:
+            cur = row
+            try:
+                for k in path:
+                    cur = cur[k]
+                return cur
+            except Exception:
+                return None
+    return None
 
 
 if __name__ == "__main__":

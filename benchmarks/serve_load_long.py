@@ -235,6 +235,32 @@ def main():
                         "piece); max_chars=60 piece split",
             }
             _note(json.dumps(stream))
+
+            # ---- unloaded streaming TTFA (the per-request story) ------------
+            # Under 12-way saturation every piece of every request shares the
+            # same batches, so TTFA ~= total above.  Streaming's win is the
+            # interactive case: ONE client, a long multi-sentence text whose
+            # pieces synthesize sequentially — playback starts after piece 1.
+            long_text = TEXTS["long"] * 3  # ~9 sentence pieces at max_chars=60
+            rows = []
+            for i in range(6):
+                status, ttfa, total, audio_s = post_tts_stream(
+                    port, long_text, seed=900 + i)
+                if status == 200:
+                    rows.append((ttfa, total, audio_s))
+            stream_unloaded = {
+                "requests": 6, "ok": len(rows),
+                "text_chars": len(long_text),
+                "ttfa_s": percentiles([r[0] for r in rows]),
+                "total_s": percentiles([r[1] for r in rows]),
+                "audio_s_mean": round(float(np.mean([r[2] for r in rows])), 2),
+                "ttfa_over_total_p50": round(
+                    percentiles([r[0] for r in rows])["p50"]
+                    / percentiles([r[1] for r in rows])["p50"], 3),
+                "note": "1 client, sequential requests: TTFA = first-piece "
+                        "synthesis; total = all pieces",
+            }
+            _note(json.dumps(stream_unloaded))
         finally:
             httpd.shutdown()
 
@@ -252,6 +278,7 @@ def main():
         "lm_impl": pipe.lm_impl,
         "load": load,
         "stream": stream,
+        "stream_unloaded": stream_unloaded,
     }
     Path(__file__).parent.joinpath("SERVE_LOAD_LONG.json").write_text(
         json.dumps(out, indent=1))

@@ -164,16 +164,20 @@ def make_handler(tts_server, timeout_s: float = 300.0, auth_token: str | None = 
                 "pause_ms": float(req.get("pause_ms", 180.0)),
             }
 
-        def _submit_pieces(self, p):
+        def _submit_pieces(self, p, stream: bool = False):
             from latent_diffusion_speech_tpu.text.segment import split_sentences
 
             pieces = split_sentences(p["text"], max_chars=p["max_chars"]) or [p["text"]]
             # every piece goes through the batching server, so a long text's
             # pieces coalesce into batched device calls together with any
-            # concurrent requests; admission is atomic — all pieces or 429
+            # concurrent requests; admission is atomic — all pieces or 429.
+            # Streaming requests mark piece 1 urgent so time-to-first-audio is
+            # one solo piece, not the whole first batch (honored only when the
+            # queue is shallow — see TTSServer.submit_many).
             return tts_server.submit_many(
                 pieces, language=p["language"],
                 spk_ids=[p["spk_id"]] * len(pieces), seed=p["seed"],
+                first_urgent=stream,
             )
 
         def do_POST(self):
@@ -193,7 +197,7 @@ def make_handler(tts_server, timeout_s: float = 300.0, auth_token: str | None = 
                 self._json(400, {"error": f"bad request: {e}"})
                 return
             try:
-                futs = self._submit_pieces(p)
+                futs = self._submit_pieces(p, stream=self.path == "/tts/stream")
             except ServerOverloaded as e:
                 # backpressure: the admission queue is full — tell the client
                 # to retry after roughly one batching window + one batch time

@@ -47,6 +47,9 @@ class TTSRequest:
     future: Future = field(default_factory=Future)
     # monotonic admission time; dispatch latency = batch start - t_submit
     t_submit: float = 0.0
+    # solo-dispatch hint: skip the batching window and run this request as a
+    # batch of one (streaming first pieces — see submit_many(first_urgent))
+    urgent: bool = False
 
 
 class TTSServer:
@@ -81,6 +84,9 @@ class TTSServer:
         self.seed_strict = seed_strict
         self._queue: "queue.Queue[Optional[TTSRequest]]" = queue.Queue()
         self._pending: Optional[TTSRequest] = None  # dispatch-thread only
+        # True while a batch is inside tts_batch — gates the urgent hint
+        # (written by the dispatch thread only; benign read race in submit)
+        self._busy = False
         self._closed = False
         self._lifecycle = threading.Lock()  # orders submit() vs close()
         self.batches_served = 0
@@ -108,12 +114,27 @@ class TTSServer:
                                 seed=seed)[0]
 
     def submit_many(self, texts, language: str = "ZH", spk_ids=None,
-                    seed: int = 0) -> "list[Future]":
+                    seed: int = 0, first_urgent: bool = False) -> "list[Future]":
         """Atomically admit a group of requests (e.g. a long text's sentence
         pieces): either ALL are queued or ServerOverloaded is raised and NONE
         are — a partial admit would synthesize audio the caller, having seen
         the rejection, will never collect.  Piece i gets seed+i so unlike
-        seeds keep dispatching separately (see _collect)."""
+        seeds keep dispatching separately (see _collect).
+
+        first_urgent: streaming time-to-first-audio hint.  A chunked /tts/
+        stream response can start playing after piece 1, but when all pieces
+        are admitted at once the batcher packs pieces 1..max_batch into ONE
+        device call and the first piece's future resolves only with the whole
+        batch — TTFA degenerates to total latency (measured:
+        SERVE_LOAD_LONG.json stream_unloaded pre-fix, ttfa/total = 0.99).
+        With the hint, piece 1 dispatches SOLO (it also fits the B=1 Pallas
+        whole-decode kernel where batched shapes must take the scan) while
+        pieces 2..n batch behind it.  Adaptivity: the hint is honored only
+        when the server is idle (empty queue, no batch in flight) at
+        admission — on a busy server piece 1 waits behind in-flight work
+        either way, so a solo dispatch would fragment batching (measured:
+        +60% stream-pass wall at 12 clients with a depth<max_batch gate)
+        without improving TTFA."""
         import time as _time
 
         spk_ids = spk_ids if spk_ids is not None else [1] * len(texts)
@@ -132,6 +153,8 @@ class TTSServer:
             if self.max_queue and depth + len(reqs) > self.max_queue:
                 self.requests_rejected += len(reqs)
                 raise ServerOverloaded(depth, self.max_queue)
+            if first_urgent and len(reqs) > 1 and depth == 0 and not self._busy:
+                reqs[0].urgent = True
             for req in reqs:
                 self._queue.put(req)
         return [r.future for r in reqs]
@@ -174,6 +197,11 @@ class TTSServer:
         self._pending = None
         if first is None:
             return [], True
+        if first.urgent:
+            # solo dispatch: no batching window.  Only ever set on the first
+            # piece of a lightly-loaded streaming request (submit_many), so
+            # this cannot starve or collapse steady-state batching.
+            return [first], False
         batch = [first]
         deadline = _time.monotonic() + max(self.max_wait_ms, 0.0) / 1e3
         saw_sentinel = False
@@ -208,6 +236,7 @@ class TTSServer:
                 import time as _time
 
                 t0 = _time.monotonic()
+                self._busy = True
                 for r in batch:
                     w = t0 - r.t_submit if r.t_submit else 0.0
                     self.queue_wait_seconds_total += w
@@ -236,6 +265,7 @@ class TTSServer:
                 self.batch_seconds_total += _time.monotonic() - t0
                 self.batches_served += 1
                 self.requests_served += len(batch)
+                self._busy = False
             if stop:
                 # keep draining anything still queued (or held pending)
                 # before exiting; re-arm the sentinel so the next _collect()

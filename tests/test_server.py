@@ -109,6 +109,35 @@ def test_server_single_request_not_delayed_forever():
         assert sr == 8000
 
 
+def test_first_urgent_dispatches_piece_one_solo():
+    """Streaming TTFA: submit_many(first_urgent=True) on a shallow queue runs
+    piece 1 as a batch of ONE (no batching window) so the /tts/stream client
+    gets first audio at solo-piece latency; the rest coalesce behind it."""
+    pipe = FakePipeline(delay_s=0.02)
+    with TTSServer(pipe, max_batch=4, max_wait_ms=500) as server:
+        futs = server.submit_many(["p0", "p1", "p2"], first_urgent=True)
+        for f in futs:
+            f.result(timeout=30)
+    assert pipe.calls[0]["texts"] == ["p0"]          # solo, window skipped
+    assert pipe.calls[1]["texts"] == ["p1", "p2"]    # batched behind it
+    assert server.batches_served == 2
+
+
+def test_first_urgent_ignored_when_queue_deep():
+    """Under load (queue depth >= max_batch at admission) the urgent hint is
+    dropped — solo dispatches would collapse batching exactly when batching
+    matters, and queue wait dominates TTFA there anyway."""
+    pipe = FakePipeline(delay_s=0.1)
+    with TTSServer(pipe, max_batch=2, max_wait_ms=5) as server:
+        futs = [server.submit(t) for t in ["a", "b", "c", "d", "e", "f"]]
+        futs += server.submit_many(["p0", "p1", "p2"], first_urgent=True)
+        for f in futs:
+            f.result(timeout=30)
+    texts = [c["texts"] for c in pipe.calls]
+    assert ["p0"] not in texts                       # never dispatched solo
+    assert any("p0" in t and len(t) == 2 for t in texts)
+
+
 def test_server_propagates_errors():
     pipe = FakePipeline(fail=True)
     with TTSServer(pipe, max_wait_ms=5) as server:
