@@ -111,7 +111,9 @@ def host_only(batch_sizes=(64, 256), min_s: float = 20.0,
                              transfer_dtype=transfer_dtype,
                              num_workers=num_workers)
         it = iter(loader)
-        next(it)  # probe + first batch outside the window
+        first = next(it)  # probe + first batch outside the window
+        bpb = int(sum(a.nbytes for a in first.values()
+                      if hasattr(a, "nbytes")))
         n, t0 = 0, time.perf_counter()
         epoch = 0
         while time.perf_counter() - t0 < min_s:
@@ -125,13 +127,6 @@ def host_only(batch_sizes=(64, 256), min_s: float = 20.0,
                 n += 1
             n += 1
         dt = time.perf_counter() - t0
-        ds = loader.dataset
-        if device_collate:
-            unit_bytes = 2 if transfer_dtype else 4
-            bpb = int(B * (88 * 2 * MEL_DIM * 4
-                           + ds._u_fixed * UNITS_DIM * unit_bytes + 88 * 4))
-        else:
-            bpb = int(B * 88 * (MEL_DIM + UNITS_DIM) * 4)
         out[f"B{B}"] = {
             "batches_per_s": round(n / dt, 2),
             "samples_per_s": round(n * B / dt, 1),
@@ -349,9 +344,14 @@ def main():
         doc["host_worker_scaling"] = {
             "host_cpu_cores": os.cpu_count(),
             "mode": "device_collate bf16, B=64, distinct batches",
-            "note": "workers0 = in-process path; workersN = N spawn "
-                    "processes assembling whole batches (loader.py). "
-                    "Scaling ceiling is the host core count.",
+            "note": "workers0 = in-process path (C++ reader releases the GIL); "
+                    "workersN = N spawn processes assembling whole batches "
+                    "(loader.py). Scaling ceiling is the host core count: on "
+                    "a 1-core host workers only add ~14 MB/batch of pickle "
+                    "IPC and cannot parallelize, so workers0 wins — the "
+                    "process mode pays off only where the PYTHON collate "
+                    "binds on a multi-core host (the reference's "
+                    "num_workers=8..32 regime, data_loaders.py:30-37).",
             "rates": scaling,
         }
         OUT.write_text(json.dumps(doc, indent=1))
