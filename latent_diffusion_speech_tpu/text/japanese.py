@@ -112,7 +112,7 @@ _STEM_NEXT = {
     "ぬ": set("なにぬねのん"),
     "ぶ": set("ばびぶべぼん"),
     "む": set("まみむめもん"),
-    "る": set("らりるれろっ" "てたまなよずざ"),
+    "る": set("らりるれろっ" "てたまなよずざす"),  # す: 〜すぎる compounds
     "い": set("くかけさそ"),
 }
 
@@ -184,20 +184,243 @@ def _is_kanji(c: str) -> bool:
 
 
 def _is_word_char(c: str) -> bool:
-    return _is_kanji(c) or "ァ" <= c <= "ヶ"
+    # ー (chouonpu) ends katakana words (エレベーター); digits end numbers —
+    # both are word positions for the particle heuristic below
+    return (_is_kanji(c) or "ァ" <= c <= "ヶ" or c == "ー"
+            or "0" <= c <= "9" or "０" <= c <= "９")
 
 
 def _particles(text: str) -> str:
     """Pronounce the topic/direction particles は->わ, へ->え.  Without
     morphology the heuristic is: a は/へ directly AFTER a word character
-    (kanji/katakana) is a particle — okurigana never starts with は/へ in
-    common vocabulary, so the false-positive surface is negligible; は/へ
-    inside or after a hiragana word (では/とは…) is never touched."""
+    (kanji/katakana/chouonpu/digit) is a particle — okurigana never starts
+    with は/へ in common vocabulary, so the false-positive surface is
+    negligible; は/へ inside or after a hiragana word (では/とは…) is never
+    touched."""
     out = list(text)
     for i, c in enumerate(text):
         if c in "はへ" and i > 0 and _is_word_char(text[i - 1]):
             out[i] = "わ" if c == "は" else "え"
     return "".join(out)
+
+
+# -- numbers, counters, dates (pyopenjtalk-absent fallback) -------------------
+#
+# Arabic numerals have no kana table entry and used to drop silently ("3時"
+# lost the 3); kanji numerals fell back to per-character readings with none
+# of the counter euphonics (一本 -> いちほん).  This is the textbook layer a
+# morphological dictionary encodes: number-to-kana with the standard sound
+# changes (さんびゃく/ろっぴゃく/さんぜん), per-counter assimilations
+# (いっぽん/さんぼん/じゅっぷん), native whole-number counter readings
+# (ひとつ/ふたり/はたち), and date readings (四月ついたち).
+
+_NUM_U = {1: "いち", 2: "に", 3: "さん", 4: "よん", 5: "ご",
+          6: "ろく", 7: "なな", 8: "はち", 9: "きゅう"}
+_NUM_HUN = {1: "ひゃく", 3: "さんびゃく", 6: "ろっぴゃく", 8: "はっぴゃく"}
+_NUM_SEN = {1: "せん", 3: "さんぜん", 8: "はっせん"}
+_KANJI_DIGIT = {"〇": 0, "一": 1, "二": 2, "三": 3, "四": 4, "五": 5,
+                "六": 6, "七": 7, "八": 8, "九": 9}
+_KANJI_MULT = {"十": 10, "百": 100, "千": 1000, "万": 10000}
+
+
+def _num_kana(n: int) -> str:
+    """0..99,999,999 -> kana with the standard euphonic changes."""
+    if n == 0:
+        return "ぜろ"
+    if n >= 10000:
+        man, rest = divmod(n, 10000)
+        return _num_kana(man) + "まん" + (_num_kana(rest) if rest else "")
+    parts: List[str] = []
+    th, n = divmod(n, 1000)
+    hu, n = divmod(n, 100)
+    te, u = divmod(n, 10)
+    if th:
+        parts.append(_NUM_SEN.get(th, _NUM_U[th] + "せん"))
+    if hu:
+        parts.append(_NUM_HUN.get(hu, _NUM_U[hu] + "ひゃく"))
+    if te:
+        parts.append(("" if te == 1 else _NUM_U[te]) + "じゅう")
+    if u:
+        parts.append(_NUM_U[u])
+    return "".join(parts)
+
+
+def _parse_number(s: str) -> int:
+    """Arabic (half/full-width) or kanji numeral string -> int."""
+    if s[0] in _KANJI_DIGIT or s[0] in _KANJI_MULT:
+        total = cur = 0
+        for c in s:
+            if c in _KANJI_DIGIT:
+                cur = cur * 10 + _KANJI_DIGIT[c]
+            else:
+                m = _KANJI_MULT[c]
+                if m == 10000:
+                    total = (total + (cur or 1)) * m
+                    cur = 0
+                else:
+                    total += (cur or 1) * m
+                    cur = 0
+        return total + cur
+    return int("".join(chr(ord(c) - 0xFEE0) if "０" <= c <= "９" else c
+                       for c in s))
+
+
+# counter -> (default suffix, euphonic last-digit fragments, whole-number
+# native readings).  last maps final digit (or 10 for round tens, where the
+# closing じゅう itself assimilates: 30本 さんじゅっぽん) to the full
+# digit+counter fragment.
+_COUNTERS = {
+    "時間": ("じかん", {4: "よじかん", 7: "しちじかん", 9: "くじかん"}, {}),
+    "週間": ("しゅうかん", {1: "いっしゅうかん", 8: "はっしゅうかん",
+                            10: "じゅっしゅうかん"}, {}),
+    "ヶ月": ("かげつ", {1: "いっかげつ", 6: "ろっかげつ", 8: "はっかげつ",
+                        10: "じゅっかげつ"}, {}),
+    "か月": ("かげつ", {1: "いっかげつ", 6: "ろっかげつ", 8: "はっかげつ",
+                        10: "じゅっかげつ"}, {}),
+    "時": ("じ", {4: "よじ", 7: "しちじ", 9: "くじ"}, {}),
+    "分": ("ふん", {1: "いっぷん", 3: "さんぷん", 4: "よんぷん",
+                    6: "ろっぷん", 8: "はっぷん", 10: "じゅっぷん"}, {}),
+    "秒": ("びょう", {}, {}),
+    "歳": ("さい", {1: "いっさい", 8: "はっさい", 10: "じゅっさい"},
+           {20: "はたち"}),
+    "才": ("さい", {1: "いっさい", 8: "はっさい", 10: "じゅっさい"},
+           {20: "はたち"}),
+    "人": ("にん", {4: "よにん"}, {1: "ひとり", 2: "ふたり"}),
+    "回": ("かい", {1: "いっかい", 6: "ろっかい", 8: "はっかい",
+                    10: "じゅっかい"}, {}),
+    "階": ("かい", {1: "いっかい", 3: "さんがい", 6: "ろっかい",
+                    8: "はっかい", 10: "じゅっかい"}, {}),
+    "本": ("ほん", {1: "いっぽん", 3: "さんぼん", 6: "ろっぽん",
+                    8: "はっぽん", 10: "じゅっぽん"}, {}),
+    "個": ("こ", {1: "いっこ", 6: "ろっこ", 8: "はっこ", 10: "じゅっこ"}, {}),
+    "冊": ("さつ", {1: "いっさつ", 8: "はっさつ", 10: "じゅっさつ"}, {}),
+    "匹": ("ひき", {1: "いっぴき", 3: "さんびき", 6: "ろっぴき",
+                    8: "はっぴき", 10: "じゅっぴき"}, {}),
+    "杯": ("はい", {1: "いっぱい", 3: "さんばい", 6: "ろっぱい",
+                    8: "はっぱい", 10: "じゅっぱい"}, {}),
+    "枚": ("まい", {}, {}),
+    "台": ("だい", {}, {}),
+    "番": ("ばん", {}, {}),
+    "度": ("ど", {}, {}),
+    "名様": ("めいさま", {}, {}),
+    "名": ("めい", {}, {}),
+    "泊": ("はく", {1: "いっぱく", 3: "さんぱく", 6: "ろっぱく",
+                    8: "はっぱく", 10: "じゅっぱく"}, {}),
+    "円玉": ("えんだま", {4: "よえんだま"}, {}),
+    "円": ("えん", {4: "よえん"}, {}),
+    "年": ("ねん", {4: "よねん"}, {}),
+    "つ": ("", {}, {1: "ひとつ", 2: "ふたつ", 3: "みっつ", 4: "よっつ",
+                    5: "いつつ", 6: "むっつ", 7: "ななつ", 8: "やっつ",
+                    9: "ここのつ", 10: "とお"}),
+    # katakana measure words: reading is the unit itself, no assimilation
+    "グラム": ("グラム", {}, {}),
+    "キロ": ("キロ", {}, {}),
+    "メートル": ("メートル", {}, {}),
+    "センチ": ("センチ", {}, {}),
+    "ミリ": ("ミリ", {}, {}),
+    "リットル": ("リットル", {}, {}),
+    "ページ": ("ページ", {}, {}),
+    "パーセント": ("パーセント", {}, {}),
+}
+
+# day-of-month: native readings through 10 plus the irregular teens/twenties
+_DAYS = {1: "ついたち", 2: "ふつか", 3: "みっか", 4: "よっか", 5: "いつか",
+         6: "むいか", 7: "なのか", 8: "ようか", 9: "ここのか", 10: "とおか",
+         14: "じゅうよっか", 20: "はつか", 24: "にじゅうよっか"}
+
+
+def _counted(n: int, suffix: str, last: dict, whole: dict) -> str:
+    if n in whole:
+        return whole[n]
+    if n == 0:
+        return "ぜろ" + suffix
+    u = n % 10
+    if u == 0 and n >= 10:
+        if 10 in last:
+            return _num_kana(n)[:-3] + last[10]  # strip じゅう, assimilate
+        return _num_kana(n) + suffix
+    tens = _num_kana(n - u) if n - u else ""
+    if u in last:
+        return tens + last[u]
+    return tens + (_NUM_U[u] if u else "") + suffix
+
+
+def _month_kana(n: int) -> str:
+    return _counted(n, "がつ", {4: "しがつ", 7: "しちがつ", 9: "くがつ"}, {})
+
+
+def _day_kana(n: int, in_date: bool) -> str:
+    # 一日 standalone is the duration いちにち; after ...月 it is the 1st
+    if n == 1 and not in_date:
+        return "いちにち"
+    if n in _DAYS:
+        return _DAYS[n]
+    return _counted(n, "にち", {}, {})
+
+
+_NUM_EXPR = r"(?:[0-9０-９]+|[〇一二三四五六七八九十百千万]+)"
+_COUNTER_EXPR = "|".join(sorted(map(re.escape, _COUNTERS), key=len,
+                                reverse=True))
+_DATE_RE = re.compile(f"({_NUM_EXPR})月({_NUM_EXPR})日")
+_MONTH_RE = re.compile(f"({_NUM_EXPR}|何)月")
+_DAY_RE = re.compile(f"({_NUM_EXPR}|何)日")
+_COUNT_RE = re.compile(f"({_NUM_EXPR}|何)({_COUNTER_EXPR})")
+
+
+def _nan_counted(suffix: str, last: dict) -> str:
+    """何+counter reads なん with the same rendaku row as 三 (なんぼん like
+    さんぼん, なんぷん like さんぷん): derive the fragment from the
+    3-euphonic entry when one exists."""
+    if 3 in last and last[3].startswith("さん"):
+        return "なん" + last[3][len("さん"):]
+    return "なん" + suffix
+_BARE_NUM_RE = re.compile(r"[0-9０-９]+")
+_BARE_KNUM_RE = re.compile(r"[〇一二三四五六七八九十百千万]{2,}")
+
+
+def _numbers(text: str) -> str:
+    """Rewrite number expressions to kana BEFORE table lookup: dates, then
+    counters (longest counter first), then bare arabic numbers (which have
+    no kana reading at all).  Bare KANJI numerals are left for the word
+    table (十 とお etc. are context-dependent standalone)."""
+    def date(m):
+        mo, da = _parse_number(m.group(1)), _parse_number(m.group(2))
+        if 1 <= mo <= 12 and 1 <= da <= 31:
+            return _month_kana(mo) + _day_kana(da, in_date=True)
+        return m.group(0)
+
+    def month(m):
+        if m.group(1) == "何":
+            return "なんがつ"
+        n = _parse_number(m.group(1))
+        return _month_kana(n) if 1 <= n <= 12 else m.group(0)
+
+    def day(m):
+        if m.group(1) == "何":
+            return "なんにち"
+        n = _parse_number(m.group(1))
+        return _day_kana(n, in_date=False) if 1 <= n <= 31 else m.group(0)
+
+    def count(m):
+        suffix, last, whole = _COUNTERS[m.group(2)]
+        if m.group(1) == "何":
+            return _nan_counted(suffix, last)
+        n = _parse_number(m.group(1))
+        if n > 99_999_999:
+            return m.group(0)
+        return _counted(n, suffix, last, whole)
+
+    text = _DATE_RE.sub(date, text)
+    text = _COUNT_RE.sub(count, text)
+    text = _MONTH_RE.sub(month, text)
+    text = _DAY_RE.sub(day, text)
+    text = _BARE_NUM_RE.sub(
+        lambda m: _num_kana(min(_parse_number(m.group(0)), 99_999_999)), text)
+    # bare MULTI-char kanji numerals get the composed reading with its
+    # euphonics (六百 ろっぴゃく, 三千 さんぜん); standalone single numerals
+    # stay with the word table (十 とお is context-dependent)
+    return _BARE_KNUM_RE.sub(
+        lambda m: _num_kana(min(_parse_number(m.group(0)), 99_999_999)), text)
 
 
 def _kanji_to_kana(text: str) -> str:
@@ -206,7 +429,7 @@ def _kanji_to_kana(text: str) -> str:
     fires when the following character is a plausible inflection for its
     verb/adjective class (see _STEM_NEXT)."""
     table, stems = _kanji_table()
-    text = _particles(text)
+    text = _numbers(_particles(text))
     out: List[str] = []
     i = 0
     n = len(text)
@@ -230,7 +453,16 @@ def _kanji_to_kana(text: str) -> str:
                     matched = True
                     break
             if j - i == 1 and sub in table and "一" <= sub <= "鿿":
-                out.append(_long_vowelize(sub, table[sub]))
+                # suffix 中 after a kanji compound reads ちゅう (故障中/
+                # 営業中), not the standalone なか.  This runs only when no
+                # word entry claimed the span, so 田中/中国 keep their
+                # dictionary readings.  Approximate: 一日中 じゅう lands
+                # here as ちゅう.
+                if (sub == "中" and i > 0 and _is_kanji(text[i - 1])
+                        and (j >= n or not _is_kanji(text[j]))):
+                    out.append("ちゅう")
+                else:
+                    out.append(_long_vowelize(sub, table[sub]))
                 i = j
                 matched = True
                 break
