@@ -100,4 +100,7 @@ def evaluate(verbose: bool = False) -> dict:
 
 
 if __name__ == "__main__":
-    print(json.dumps(evaluate(verbose="--verbose" in sys.argv), ensure_ascii=False))
+    result = evaluate(verbose="--verbose" in sys.argv)
+    out = json.dumps(result, ensure_ascii=False)
+    Path(__file__).parent.joinpath("JA_G2P_EVAL.json").write_text(out)
+    print(out)
