@@ -446,10 +446,10 @@ def _artifact_summary():
         "ja_g2p_heldout_acc": get("JA_G2P_EVAL.json", "heldout", "phone_accuracy"),
         # round-5 additions
         "lm_effective_tokens_per_s_length_sorted": get(
-            "TRAINER_BENCH.json", "lm_padding", "detail", "length_sorted",
+            "TRAINER_BENCH.json", "lm_padding", "length_sorted",
             "effective_tokens_per_s"),
         "lm_epoch_speedup_length_sorted": get(
-            "TRAINER_BENCH.json", "lm_padding", "detail",
+            "TRAINER_BENCH.json", "lm_padding",
             "epoch_speedup_length_sorted"),
         "stage_whisper_extract_xrt": _stage(get, "whisper_units_extract_10s",
                                             "detail", "xrt"),
