@@ -42,6 +42,7 @@ _AT_2 = ("th", "ch", "sh")
 
 _R = [
     # punctuation-free words only reach us, so no symbol rules needed.
+    ("", "aa", "", "AA"),     # haas/baal/aardvark: double-a is long AA
     (" ", "are", " ", "AA R"),
     (" ", "ar", "o", "AX R"),
     ("", "ar", "#", "EH R"),
@@ -110,6 +111,8 @@ _R = [
     ("", "du", "a", "JH UW"),
     ("", "d", "", "D"),
 
+    ("", "eaux", " ", "OW"),  # French -eaux/-eux name endings
+    ("", "eux", " ", "OW"),
     ("#:", "e", " ", ""),
     ("':^", "e", " ", ""),
     (" :", "e", " ", "IY"),
@@ -287,6 +290,7 @@ _R = [
     ("r", "r", "", ""),
     ("", "r", "", "R"),
 
+    ("", "sch", "^", "SH"),   # schmidt/schneider; school keeps s-ch via #
     ("", "sh", "", "SH"),
     ("#", "sion", "", "ZH AX N"),
     ("", "some", "", "S AH M"),
@@ -310,6 +314,9 @@ _R = [
     ("#", "sn", "'", "Z AX N"),
     ("", "s", "", "S"),
 
+    # Germanic/French loan clusters common in English names (generic
+    # borrowings the NRL native ruleset predates): tsch -> CH
+    ("", "tsch", "", "CH"),
     ("t", "t", "", ""),
     (" ", "the", " ", "DH AX"),
     ("", "to", " ", "T UW"),
