@@ -85,6 +85,13 @@ class ToneSandhi:
     # -- per-word tone modification (ref :73-190) ---------------------------
 
     def modified_tone(self, word: str, pos: str, finals: List[str]) -> List[str]:
+        if len(finals) != len(word):
+            # the sandhi rules index finals by CHARACTER position; with
+            # pypinyin every hanzi has a reading so the lists always align,
+            # but the vendored table may drop an unknown hanzi
+            # (pinyin.py to_initials_finals) — skip sandhi rather than
+            # index out of range on e.g. a word-final 一/不
+            return finals
         finals = self._bu_sandhi(word, finals)
         finals = self._yi_sandhi(word, finals)
         finals = self._neural_sandhi(word, pos, finals)
