@@ -444,6 +444,8 @@ def _artifact_summary():
         "sustained_note": "tunnel-transfer-bound in this environment; see "
                           "TRAIN_SUSTAINED.json bottleneck_decomposition",
         "ja_g2p_heldout_acc": get("JA_G2P_EVAL.json", "heldout", "phone_accuracy"),
+        "zh_g2p_heldout_acc": get("ZH_G2P_EVAL.json", "heldout", "phone_accuracy"),
+        "en_lts_oov_phone_acc": get("EN_LTS_EVAL.json", "phone_accuracy"),
         # round-5 additions
         "lm_effective_tokens_per_s_length_sorted": get(
             "TRAINER_BENCH.json", "lm_padding", "length_sorted",
