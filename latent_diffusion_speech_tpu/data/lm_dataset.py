@@ -52,6 +52,27 @@ class TextDataset:
         the padded compute (448-token bucket vs the 64-token text side), so
         sorting on it alone removes nearly all pad waste."""
         if getattr(self, "_item_lengths", None) is None:
+            # sidecar cache: the header scan is O(N-files) serial small-file
+            # IO recomputing an immutable result on every run/resume — cache
+            # it keyed on the path list (name + file size), best-effort
+            cache = self.root / "semantic_token" / ".lengths_cache.npz"
+            key = None
+            try:
+                sizes = np.array(
+                    [(self.root / "semantic_token" / n).stat().st_size
+                     for n in self.paths], np.int64)
+                import hashlib
+
+                h = hashlib.sha256("\n".join(self.paths).encode())
+                h.update(sizes.tobytes())
+                key = h.hexdigest()
+                if cache.exists():
+                    z = np.load(cache, allow_pickle=False)
+                    if str(z.get("key")) == key and len(z["lens"]) == len(self.paths):
+                        self._item_lengths = z["lens"].astype(np.int64)
+                        return self._item_lengths
+            except Exception:
+                pass  # cache is an optimization only
             lens = np.empty(len(self.paths), np.int64)
             for i, name in enumerate(self.paths):
                 try:
@@ -65,6 +86,11 @@ class TextDataset:
                 except (OSError, ValueError):
                     lens[i] = 0  # unloadable items substitute at __getitem__
             self._item_lengths = lens
+            if key is not None:
+                try:
+                    np.savez(cache, key=key, lens=lens)
+                except OSError:
+                    pass
         return self._item_lengths
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:

@@ -31,18 +31,37 @@ __all__ = ["DataLoader"]
 _W = {}
 
 
-def _worker_init(dataset, collate, fast):
-    _W["dataset"], _W["collate"], _W["fast"] = dataset, collate, fast
-
-
-def _worker_make_batch(indices):
-    dataset, collate, fast = _W["dataset"], _W["collate"], _W["fast"]
-    if fast:
-        return dataset.fast_batch([int(i) for i in indices])
-    items = [dataset[int(i)] for i in indices]
+def _collate_items(items, collate):
+    """Default item collate shared by the in-process and worker paths."""
     if collate is not None:
         return collate(items)
     return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+def _worker_init(dataset, collate, fast):
+    _W["dataset"], _W["collate"], _W["fast"] = dataset, collate, fast
+    _W["epoch"] = None
+
+
+def _worker_make_batch(job):
+    """Assemble one batch in a worker.  job = (epoch, indices): the dataset
+    was pickled once at pool creation, so the parent's set_epoch never
+    reaches the worker copy — the epoch rides with every job and is applied
+    lazily (augmentation/crop draws are keyed (seed, epoch, index), so
+    per-worker application order cannot change the content)."""
+    dataset, collate = _W["dataset"], _W["collate"]
+    if _W["epoch"] != job[0] and hasattr(dataset, "set_epoch"):
+        dataset.set_epoch(job[0])
+        _W["epoch"] = job[0]
+    indices = [int(i) for i in job[1]]
+    if _W["fast"]:
+        try:
+            return dataset.fast_batch(indices)
+        except OSError:
+            # degrade to the Python item path like _make_batch does — one
+            # unreadable file must not abort the epoch
+            _W["fast"] = False
+    return _collate_items([dataset[i] for i in indices], collate)
 
 
 class DataLoader:
@@ -188,10 +207,7 @@ class DataLoader:
                 items = list(self._pool.map(lambda i: self.dataset[int(i)], indices))
             else:
                 items = [self.dataset[int(i)] for i in indices]
-            if self.collate is not None:
-                batch = self.collate(items)
-            else:
-                batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+            batch = _collate_items(items, self.collate)
         if self.device_put is not None:
             batch = self.device_put(batch)
         return batch
@@ -229,7 +245,8 @@ class DataLoader:
         )
         try:
             for indices in gen:
-                pending.append(pool.submit(_worker_make_batch, indices))
+                pending.append(
+                    pool.submit(_worker_make_batch, (self.epoch, indices)))
                 if len(pending) >= window:
                     batch = pending.popleft().result()
                     yield self.device_put(batch) if self.device_put else batch

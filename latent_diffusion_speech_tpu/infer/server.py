@@ -153,7 +153,10 @@ class TTSServer:
             if self.max_queue and depth + len(reqs) > self.max_queue:
                 self.requests_rejected += len(reqs)
                 raise ServerOverloaded(depth, self.max_queue)
-            if first_urgent and len(reqs) > 1 and depth == 0 and not self._busy:
+            # single-piece requests benefit too: at an idle server nothing
+            # can batch with the piece anyway, so skipping the max_wait_ms
+            # window is pure TTFA win (round-5 review finding)
+            if first_urgent and depth == 0 and not self._busy:
                 reqs[0].urgent = True
             for req in reqs:
                 self._queue.put(req)

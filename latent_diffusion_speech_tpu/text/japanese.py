@@ -336,8 +336,12 @@ def _counted(n: int, suffix: str, last: dict, whole: dict) -> str:
         return "ぜろ" + suffix
     u = n % 10
     if u == 0 and n >= 10:
-        if 10 in last:
-            return _num_kana(n)[:-3] + last[10]  # strip じゅう, assimilate
+        # the closing じゅう assimilates (30本 さんじゅっぽん) — but only
+        # when the reading actually ends in じゅう: round hundreds/
+        # thousands (100本) must NOT strip ひゃく/せん (a number-changing
+        # bug caught in round-5 review: 100本 read as じゅっぽん)
+        if 10 in last and (n // 10) % 10 != 0:
+            return _num_kana(n)[:-3] + last[10]
         return _num_kana(n) + suffix
     tens = _num_kana(n - u) if n - u else ""
     if u in last:
@@ -378,49 +382,72 @@ _BARE_NUM_RE = re.compile(r"[0-9０-９]+")
 _BARE_KNUM_RE = re.compile(r"[〇一二三四五六七八九十百千万]{2,}")
 
 
-def _numbers(text: str) -> str:
-    """Rewrite number expressions to kana BEFORE table lookup: dates, then
-    counters (longest counter first), then bare arabic numbers (which have
-    no kana reading at all).  Bare KANJI numerals are left for the word
-    table (十 とお etc. are context-dependent standalone)."""
-    def date(m):
-        mo, da = _parse_number(m.group(1)), _parse_number(m.group(2))
-        if 1 <= mo <= 12 and 1 <= da <= 31:
-            return _month_kana(mo) + _day_kana(da, in_date=True)
-        return m.group(0)
+_PER_DIGIT = {0: "ぜろ", 1: "いち", 2: "に", 3: "さん", 4: "よん", 5: "ご",
+              6: "ろく", 7: "なな", 8: "はち", 9: "きゅう"}
 
-    def month(m):
-        if m.group(1) == "何":
-            return "なんがつ"
-        n = _parse_number(m.group(1))
-        return _month_kana(n) if 1 <= n <= 12 else m.group(0)
 
-    def day(m):
-        if m.group(1) == "何":
-            return "なんにち"
-        n = _parse_number(m.group(1))
-        return _day_kana(n, in_date=False) if 1 <= n <= 31 else m.group(0)
+def _arabic_kana(s: str) -> str:
+    """Arabic digit run -> kana.  Runs too long for a composed reading
+    (IDs, phone numbers) are read digit-by-digit — clamping to the
+    representable maximum would speak an unrelated number (round-5 review
+    finding)."""
+    if len(s) > 8:
+        return "".join(
+            _PER_DIGIT[int(chr(ord(c) - 0xFEE0)) if "０" <= c <= "９"
+                       else int(c)] for c in s)
+    return _num_kana(_parse_number(s))
 
-    def count(m):
+
+def _match_date(text: str, i: int):
+    """Full X月Y日 at position i -> (kana, end) or None.  Tried BEFORE the
+    word table: the date reading (一月一日 いちがつついたち) must not be
+    split by 一月/一日 word entries."""
+    m = _DATE_RE.match(text, i)
+    if not m:
+        return None
+    mo, da = _parse_number(m.group(1)), _parse_number(m.group(2))
+    if 1 <= mo <= 12 and 1 <= da <= 31:
+        return _month_kana(mo) + _day_kana(da, in_date=True), m.end()
+    return None
+
+
+def _match_number(text: str, i: int):
+    """Counter/month/day/bare-number expression at position i ->
+    (kana, end) or None.  Tried AFTER the word table so dictionary entries
+    win (八百屋 やおや, 十分 じゅうぶん — round-5 review finding: the old
+    whole-text regex pass clobbered them)."""
+    m = _COUNT_RE.match(text, i)
+    if m:
         suffix, last, whole = _COUNTERS[m.group(2)]
         if m.group(1) == "何":
-            return _nan_counted(suffix, last)
+            return _nan_counted(suffix, last), m.end()
         n = _parse_number(m.group(1))
-        if n > 99_999_999:
-            return m.group(0)
-        return _counted(n, suffix, last, whole)
-
-    text = _DATE_RE.sub(date, text)
-    text = _COUNT_RE.sub(count, text)
-    text = _MONTH_RE.sub(month, text)
-    text = _DAY_RE.sub(day, text)
-    text = _BARE_NUM_RE.sub(
-        lambda m: _num_kana(min(_parse_number(m.group(0)), 99_999_999)), text)
+        if n <= 99_999_999:
+            return _counted(n, suffix, last, whole), m.end()
+    m = _MONTH_RE.match(text, i)
+    if m:
+        if m.group(1) == "何":
+            return "なんがつ", m.end()
+        n = _parse_number(m.group(1))
+        if 1 <= n <= 12:
+            return _month_kana(n), m.end()
+    m = _DAY_RE.match(text, i)
+    if m:
+        if m.group(1) == "何":
+            return "なんにち", m.end()
+        n = _parse_number(m.group(1))
+        if 1 <= n <= 31:
+            return _day_kana(n, in_date=False), m.end()
+    m = _BARE_NUM_RE.match(text, i)
+    if m:
+        return _arabic_kana(m.group(0)), m.end()
     # bare MULTI-char kanji numerals get the composed reading with its
-    # euphonics (六百 ろっぴゃく, 三千 さんぜん); standalone single numerals
-    # stay with the word table (十 とお is context-dependent)
-    return _BARE_KNUM_RE.sub(
-        lambda m: _num_kana(min(_parse_number(m.group(0)), 99_999_999)), text)
+    # euphonics (六百 ろっぴゃく); standalone single numerals stay with the
+    # word table (十 とお is context-dependent)
+    m = _BARE_KNUM_RE.match(text, i)
+    if m and _parse_number(m.group(0)) <= 99_999_999:
+        return _num_kana(_parse_number(m.group(0))), m.end()
+    return None
 
 
 def _kanji_to_kana(text: str) -> str:
@@ -429,22 +456,39 @@ def _kanji_to_kana(text: str) -> str:
     fires when the following character is a plausible inflection for its
     verb/adjective class (see _STEM_NEXT)."""
     table, stems = _kanji_table()
-    text = _numbers(_particles(text))
+    text = _particles(text)
     out: List[str] = []
     i = 0
     n = len(text)
     while i < n:
+        # priority: full dates > multi-char word entries > number/counter
+        # expressions > conjugation stems > single-char readings.  The
+        # number layer sits BELOW the word table (八百屋/十分 keep their
+        # dictionary readings) but ABOVE per-char fallback.
+        nm = _match_date(text, i)
+        if nm:
+            out.append(nm[0])
+            i = nm[1]
+            continue
         matched = False
-        for j in range(min(n, i + 6), i, -1):
+        for j in range(min(n, i + 6), i + 1, -1):
             sub = text[i:j]
-            # multi-char word entries are curated — they win outright; at
-            # single-char length the context-gated stem (we can SEE a valid
-            # inflection following) beats the per-char fallback reading
-            if j - i > 1 and sub in table:
+            if sub in table:
                 out.append(_long_vowelize(sub, table[sub]))
                 i = j
                 matched = True
                 break
+        if matched:
+            continue
+        nm = _match_number(text, i)
+        if nm:
+            out.append(nm[0])
+            i = nm[1]
+            continue
+        for j in range(min(n, i + 6), i, -1):
+            sub = text[i:j]
+            # the context-gated stem (we can SEE a valid inflection
+            # following) beats the per-char fallback reading
             if sub in stems and j < n and _is_kanji(sub[0]):
                 reading, allowed = stems[sub]
                 if text[j] in allowed:

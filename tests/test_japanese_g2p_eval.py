@@ -101,3 +101,26 @@ def test_number_counter_engine():
     # particle after chouonpu-final katakana and after digits
     assert native_phones("スーパーは") == "s u u p a a w a".split()
     assert native_phones("3は")[-2:] == ["w", "a"]
+
+
+def test_number_review_findings():
+    """Round-5 review regressions: word-table priority over the number
+    layer, round-hundreds assimilation, long digit runs."""
+    from latent_diffusion_speech_tpu.text.japanese import (
+        _kanji_to_kana, text_normalize)
+
+    def kana(s):
+        return _kanji_to_kana(text_normalize(s))
+
+    # dictionary words containing numerals must beat the number layer
+    assert kana("八百屋で働く") == "やおやではたらく"
+    assert kana("十分です") == "じゅうぶんです"      # 'enough', not 10 min
+    assert kana("10分です") == "じゅっぷんです"      # actual 10 minutes
+    # round hundreds must not strip ひゃく/せん as if it were じゅう
+    assert kana("100本") == "ひゃくほん"
+    assert kana("300本") == "さんびゃくほん"
+    assert kana("30本") == "さんじゅっぽん"          # tens still assimilate
+    # the full-date reading survives word-table entries for 一月/一日
+    assert kana("一月一日") == "いちがつついたち"
+    # >8-digit runs read digit-by-digit, never clamped to 99,999,999
+    assert kana("09012345678") == "ぜろきゅうぜろいちにさんよんごろくななはち"

@@ -141,6 +141,53 @@ class TestProcessWorkers:
         finally:
             proc.close()
 
+    def test_set_epoch_reaches_workers(self, tmp_path, rng):
+        """Round-5 review finding: the dataset pickles into the pool ONCE,
+        so the parent's set_epoch never reached workers — every epoch
+        replayed epoch-0 augmentation draws.  The epoch now rides with each
+        job; worker batches must match the in-process path epoch by epoch."""
+        pytest.importorskip("ml_dtypes")
+        from latent_diffusion_speech_tpu.data import DiffusionDataset
+        from latent_diffusion_speech_tpu.data.native_loader import native_available
+
+        if not native_available():
+            pytest.skip("no native toolchain")
+        root = tmp_path / "train"
+        for n in range(6):
+            (root / "audio" / "1").mkdir(parents=True, exist_ok=True)
+            (root / "audio" / "1" / f"{n}.wav").write_bytes(b"")
+            T = 120 + 10 * n
+            for kind, arr in [
+                ("mel", rng.standard_normal((T, 8)).astype(np.float32)),
+                ("units", rng.standard_normal((int(T * 0.58), 8)).astype(np.float32)),
+            ]:
+                (root / kind / "1").mkdir(parents=True, exist_ok=True)
+                np.save(root / kind / "1" / f"{n}.wav.npy", arr)
+        mk = lambda **kw: DataLoader(
+            DiffusionDataset(
+                root, waveform_sec=1.0, hop_size=2, sample_rate=100, n_spk=1,
+                seed=0, only_mean=True, clamp=-1,
+            ),
+            batch_size=3, seed=2, **kw,
+        )
+        proc, base = mk(num_workers=1), mk(num_threads=1)
+        try:
+            per_epoch = []
+            for epoch in (0, 1, 2):
+                proc.set_epoch(epoch)
+                base.set_epoch(epoch)
+                got, want = list(proc), list(base)
+                for g, w in zip(got, want):
+                    for k in w:
+                        np.testing.assert_array_equal(
+                            np.asarray(g[k]), np.asarray(w[k]))
+                per_epoch.append(np.concatenate(
+                    [np.asarray(b["mel"]).ravel() for b in got]))
+            # and the epochs genuinely differ (fresh crops, not a replay)
+            assert not np.array_equal(per_epoch[0], per_epoch[1])
+        finally:
+            proc.close()
+
     def test_diffusion_fast_batch_in_workers(self, tmp_path, rng):
         pytest.importorskip("ml_dtypes")
         from latent_diffusion_speech_tpu.data import DiffusionDataset
