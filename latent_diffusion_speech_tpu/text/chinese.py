@@ -214,7 +214,35 @@ def g2p_pinyin(pinyin_text: str) -> Tuple[List[str], List[int], List[int]]:
 # hanzi G2P (requires jieba + pypinyin)
 # ---------------------------------------------------------------------------
 
+def _merge_table_words(seg_cut):
+    """Re-join adjacent posseg segments whose concatenation is a curated
+    polyphone word entry (e.g. posseg yields 好|觉 but the table knows
+    好觉 = hao3 jiao4). Pairwise longest-first, left to right."""
+    from latent_diffusion_speech_tpu.text.pinyin import is_word_entry
+
+    seg_cut = [(w, p) for w, p in seg_cut]  # jieba pair objects -> tuples
+    out = []
+    i = 0
+    while i < len(seg_cut):
+        if i + 1 < len(seg_cut):
+            joined = seg_cut[i][0] + seg_cut[i + 1][0]
+            if len(joined) <= 4 and is_word_entry(joined):
+                out.append((joined, seg_cut[i + 1][1]))
+                i += 2
+                continue
+        out.append(seg_cut[i])
+        i += 1
+    return out
+
+
 def _get_initials_finals(word: str):
+    from latent_diffusion_speech_tpu.text.pinyin import is_word_entry
+
+    if is_word_entry(word):
+        # curated word-level reading beats pypinyin's generic phrase dict
+        from latent_diffusion_speech_tpu.text.pinyin import to_initials_finals
+
+        return to_initials_finals(word)
     try:
         from pypinyin import Style, lazy_pinyin
 
@@ -244,7 +272,8 @@ def g2p(text: str) -> Tuple[List[str], List[int], List[int]]:
     word2ph: List[int] = []
     for seg in sentences:
         seg = re.sub("[a-zA-Z]+", "", seg)
-        seg_cut = _tone_sandhi.pre_merge_for_modify(psg.lcut(seg))
+        seg_cut = _merge_table_words(psg.lcut(seg))
+        seg_cut = _tone_sandhi.pre_merge_for_modify(seg_cut)
         initials, finals = [], []
         for word, pos in seg_cut:
             if pos == "eng":

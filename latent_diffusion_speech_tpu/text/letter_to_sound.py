@@ -47,6 +47,7 @@ _R = [
     (" ", "ar", "o", "AX R"),
     ("", "ar", "#", "EH R"),
     ("^", "as", "#", "EY S"),
+    ("", "a", "gue", "EY"),   # vague, plague
     ("", "a", "wa", "AX"),
     ("", "aw", "", "AO"),
     (" :", "any", "", "EH N IY"),
@@ -91,13 +92,13 @@ _R = [
     ("", "ci", "a", "SH"),
     ("", "ci", "o", "SH"),
     ("", "ci", "en", "SH"),
+    ("", "cci", " ", "CH IY"),  # Italian-name final -cci (bucci, ricci)
+    ("", "cc", "+", "K S"),
+    ("c", "c", "", ""),
     ("", "c", "+", "S"),
     ("", "ck", "", "K"),
     ("", "com", "%", "K AH M"),
     ("", "c", "", "K"),
-
-    ("", "cc", "+", "K S"),
-    ("c", "c", "", ""),
 
     ("#:", "ded", " ", "D IH D"),
     ("d", "d", "", ""),
@@ -154,6 +155,15 @@ _R = [
     ("", "f", "", "F"),
 
     ("", "giv", "", "G IH V"),
+    # word-final -gue is a hard /g/ (vague, league, fatigue, catalogue);
+    # word-initial ar- keeps the /gyu/ (argue, argues, argued).
+    (" ar", "gue", "", "G Y UW"),
+    ("", "gues", " ", "G Z"),
+    ("", "gued", " ", "G D"),
+    ("", "gue", " ", "G"),
+    # word-initial gu+vowel has a silent u (guest, guide, guard, guitar);
+    # medially it is usually /gw/ (linguist, language), left to general rules.
+    (" ", "gu", "#", "G"),
     (" ", "g", "i^", "G"),
     ("", "ge", "t", "G EH"),
     ("su", "gges", "", "G JH EH S"),
@@ -172,6 +182,7 @@ _R = [
     ("", "h", "", ""),
 
     (" ", "in", "", "IH N"),
+    ("", "i", "gue", "IY"),  # fatigue, intrigue
     (" ", "i", " ", "AY"),
     ("", "in", "d", "AY N"),
     ("", "ier", "", "IY ER"),
@@ -206,6 +217,7 @@ _R = [
     ("", "k", "", "K"),
 
     ("", "lo", "c#", "L OW"),
+    ("", "logue", "", "L AO G"),  # catalogue, dialogue, monologue
     ("l", "l", "", ""),
     ("#:^", "l", "%", "AX L"),
     (" ", "lead", "", "L IY D"),
@@ -234,6 +246,7 @@ _R = [
     ("", "ow", "", "OW"),
     (" ", "over", "", "OW V ER"),
     ("", "ov", "", "AH V"),
+    ("", "o", "gue", "OW"),  # rogue, vogue, brogue
     ("", "o", "^%", "OW"),
     ("", "o", "^en", "OW"),
     ("", "o", "^i#", "OW"),
@@ -283,6 +296,9 @@ _R = [
     ("", "p", "", "P"),
 
     ("", "quar", "", "K W AO R"),
+    # word-final -que is a plain /k/ (torque, mosque, cheque, plaque).
+    ("", "ques", " ", "K S"),
+    ("", "que", " ", "K"),
     ("", "qu", "", "K W"),
     ("", "q", "", "K"),
 
@@ -309,6 +325,7 @@ _R = [
     ("u", "s", " ", "S"),
     (" :#", "s", " ", "Z"),
     (" ", "sch", "", "S K"),
+    ("#", "sch", " ", "SH"),  # German-name final -sch (rausch, busch)
     ("", "s", "c+", ""),
     ("#", "sm", "", "Z M"),
     ("#", "sn", "'", "Z AX N"),
@@ -345,6 +362,10 @@ _R = [
     (" ", "two", "", "T UW"),
     ("", "t", "", "T"),
 
+    # leftover -ue after a consumed g (to-ngue) is silent at word end.
+    ("g", "ues", " ", "Z"),
+    ("g", "ued", " ", "D"),
+    ("g", "ue", " ", ""),
     (" ", "un", "i", "Y UW N"),
     (" ", "un", "", "AH N"),
     (" ", "upon", "", "AX P AO N"),

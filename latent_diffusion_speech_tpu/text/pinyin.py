@@ -24,10 +24,16 @@ from latent_diffusion_speech_tpu.text.data_files import find_data_file
 
 __all__ = [
     "have_native_table",
+    "is_word_entry",
     "word_to_pinyin",
     "to_initials_finals",
     "split_full_pinyin",
 ]
+
+
+def is_word_entry(word: str) -> bool:
+    """True when `word` has a curated word-level (polyphone) table entry."""
+    return word in _tables()[1]
 
 # pypinyin strict initials (y/w are not initials in strict mode)
 _INITIALS_STRICT = [

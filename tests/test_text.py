@@ -154,6 +154,22 @@ class TestEnglish:
         assert lts("nation") == ["N", "EY1", "SH", "AH0", "N"]
         assert lts("make") == ["M", "EY1", "K"]
         assert lts("through") == ["TH", "R", "UW1"]
+        # French/Greek -gue/-que finals: hard /g/ and /k/, never /gyu/ /kw/
+        assert lts("vague") == ["V", "EY1", "G"]
+        assert lts("leagues") == ["L", "IY1", "G", "Z"]
+        assert lts("intrigued") == ["IH1", "N", "T", "R", "IY0", "G", "D"]
+        assert lts("torque") == ["T", "AO1", "R", "K"]
+        assert lts("mosques") == ["M", "AA1", "S", "K", "S"]
+        assert lts("rogue") == ["R", "OW1", "G"]
+        assert lts("dialogue")[-2:] == ["AO0", "G"]
+        assert lts("argue") == ["AA1", "R", "G", "Y", "UW0"]  # exception kept
+        # word-initial gu+vowel: silent u
+        assert lts("guest") == ["G", "EH1", "S", "T"]
+        assert lts("guide") == ["G", "AY1", "D"]
+        # loan-name finals
+        assert lts("rausch")[-1] == "SH"
+        assert lts("ricci")[-2:] == ["CH", "IY0"]
+        assert lts("succeed")[:4] == ["S", "AH1", "K", "S"]  # cc+e keeps /ks/
         # every output phone must survive refine_ph into the symbol table
         for word in ("zorblax", "phoneme", "krandor", "quixotic"):
             out = lts(word)
@@ -280,6 +296,19 @@ class TestNativeHanziG2P:
         phones, tones, _ = g2p("音乐")
         assert phones == ["y", "in", "y", "ve"]
         assert tones == [1, 1, 4, 4]  # yue4, not le4
+
+    def test_cross_segment_polyphone_merge(self):
+        """posseg splits 好|觉 but the table knows 好觉 = hao3 jiao4; the
+        cross-segment merge pass must re-join it (round-5 fix)."""
+        from latent_diffusion_speech_tpu.text.chinese import g2p
+
+        phones, tones, _ = g2p("睡了一个好觉")
+        assert phones[-2:] == ["j", "iao"]
+        assert tones[-2:] == [4, 4]  # jiao4, not jue2
+        # the non-sleep reading is untouched
+        phones, tones, _ = g2p("我觉得")
+        assert phones[2:4] == ["j", "ve"]
+        assert tones[2:4] == [2, 2]
 
     def test_tts_style_input_with_percent(self):
         """The VERDICT done-criterion: tts('你好123.5%')-style input produces
