@@ -47,7 +47,21 @@ _KATAKANA_ROMAJI = {
     "ピャ": "py a", "ピュ": "py u", "ピョ": "py o",
     "ミャ": "my a", "ミュ": "my u", "ミョ": "my o",
     "リャ": "ry a", "リュ": "ry u", "リョ": "ry o",
+    # foreign-sound digraphs (katakana + small vowel), per openjtalk
+    "ファ": "f a", "フィ": "f i", "フェ": "f e", "フォ": "f o",
+    "ティ": "t i", "トゥ": "t u", "ディ": "d i", "ドゥ": "d u",
+    "デュ": "dy u",
+    "ウィ": "w i", "ウェ": "w e", "ウォ": "w o",
+    "シェ": "sh e", "ジェ": "j e", "チェ": "ch e",
+    "ツァ": "ts a", "ツィ": "ts i", "ツェ": "ts e", "ツォ": "ts o",
+    "イェ": "y e",
+    "ヴァ": "v a", "ヴィ": "v i", "ヴェ": "v e", "ヴォ": "v o",
+    "ヴ": "v u",
 }
+
+# small vowels not consumed by a digraph replace the preceding vowel
+# (approximating the foreign mora): クァ -> k a, フョ etc. fall back here.
+_SMALL_VOWELS = {"ァ": "a", "ィ": "i", "ゥ": "u", "ェ": "e", "ォ": "o"}
 
 
 def post_replace_ph(ph: str) -> str:
@@ -81,6 +95,11 @@ def _kana_to_phones(text: str) -> List[str]:
             # Japanese きょう) — never an okurigana mora, unlike plain
             # o-row + う (思う), so the rewrite is safe on raw kana input
             phones.append("o")
+        elif ch in _SMALL_VOWELS:
+            if phones and phones[-1] in "aiueo":
+                phones[-1] = _SMALL_VOWELS[ch]
+            else:
+                phones.append(_SMALL_VOWELS[ch])
         elif ch in _KATAKANA_ROMAJI:
             mapped = _KATAKANA_ROMAJI[ch]
             if mapped:
@@ -179,6 +198,32 @@ def _long_vowelize(key: str, reading: str) -> str:
     return "".join(out)
 
 
+# raw-text long-o rewrite set: o-row kana whose う continuation in running
+# text is (almost) always a long vowel (よう/もう/そう/どう/ありがとう…).
+# Deliberately EXCLUDES の/を/と, where a following う usually starts the
+# next word (そのうち, 〜を受け, 〜すると うまく), and excludes e-row+い
+# entirely (ている/てください would corrupt).  Okurigana う (思う, 買う) is
+# safe: in raw text it follows a KANJI, not an o-row kana.  The kanji-table
+# readings get the full treatment in _long_vowelize, key-aware.
+_O_ROW_RAW = _O_ROW - set("のをと")
+
+
+# fixed kana words whose long vowel uses an excluded row (と+う)
+_RAW_WORD_LONG = {"ありがとう": "ありがとー", "おめでとう": "おめでとー",
+                  "とうとう": "とーとー"}
+
+
+def _raw_long_vowels(text: str) -> str:
+    for k, v in _RAW_WORD_LONG.items():
+        if k in text:
+            text = text.replace(k, v)
+    out = list(text)
+    for i in range(1, len(text)):
+        if text[i] == "う" and text[i - 1] in _O_ROW_RAW:
+            out[i] = "ー"
+    return "".join(out)
+
+
 def _is_kanji(c: str) -> bool:
     return "一" <= c <= "鿿" or c == "々"
 
@@ -195,12 +240,23 @@ def _particles(text: str) -> str:
     morphology the heuristic is: a は/へ directly AFTER a word character
     (kanji/katakana/chouonpu/digit) is a particle — okurigana never starts
     with は/へ in common vocabulary, so the false-positive surface is
-    negligible; は/へ inside or after a hiragana word (では/とは…) is never
-    touched."""
+    negligible.  After a HIRAGANA word (それは本当…) the next character
+    decides: a は/へ that sits on a word boundary — followed by kanji,
+    katakana, a digit, punctuation, or the end of text — is a particle
+    (それは/つまりは/どこへ); a hiragana follower means word-internal
+    (おはよう, やはり) and is left alone."""
     out = list(text)
+    n = len(text)
     for i, c in enumerate(text):
-        if c in "はへ" and i > 0 and _is_word_char(text[i - 1]):
+        if c not in "はへ" or i == 0:
+            continue
+        prev = text[i - 1]
+        if _is_word_char(prev):
             out[i] = "わ" if c == "は" else "え"
+        elif "ぁ" <= prev <= "ゖ":
+            nxt = text[i + 1] if i + 1 < n else ""
+            if nxt == "" or _is_word_char(nxt) or not ("ぁ" <= nxt <= "ゖ"):
+                out[i] = "わ" if c == "は" else "え"
     return "".join(out)
 
 
@@ -457,6 +513,7 @@ def _kanji_to_kana(text: str) -> str:
     verb/adjective class (see _STEM_NEXT)."""
     table, stems = _kanji_table()
     text = _particles(text)
+    text = _raw_long_vowels(text)
     out: List[str] = []
     i = 0
     n = len(text)

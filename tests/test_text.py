@@ -203,8 +203,9 @@ class TestEnglish:
 class TestJapanese:
     def test_kana_fallback_path(self):
         phones, tones, word2ph = japanese.g2p("こんにちは")
-        # literal kana reading (particle wa/ha disambiguation needs pyopenjtalk)
-        assert phones == ["k", "o", "N", "n", "i", "ch", "i", "h", "a"]
+        # the hiragana-は boundary rule reads the greeting's は as wa,
+        # matching pyopenjtalk (round-5 fix; was the literal h a before)
+        assert phones == ["k", "o", "N", "n", "i", "ch", "i", "w", "a"]
         assert all(p in symbols for p in phones)
 
     def test_sokuon(self):
