@@ -280,6 +280,9 @@ def g2p(text: str) -> Tuple[List[str], List[int], List[int]]:
                 continue
             sub_i, sub_f = _get_initials_finals(word)
             sub_f = _tone_sandhi.modified_tone(word, pos, sub_f)
+            # NOTE: standalone locatives split off by posseg (公园|里) keep
+            # their full tone — matches pypinyin/PaddleSpeech behavior; a
+            # neutralize-here variant was measured WORSE on the held-out set
             initials += sub_i
             finals += sub_f
         for c, v in zip(initials, finals):
