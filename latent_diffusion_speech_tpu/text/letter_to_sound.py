@@ -157,6 +157,7 @@ _R = [
     ("", "giv", "", "G IH V"),
     # word-final -gue is a hard /g/ (vague, league, fatigue, catalogue);
     # word-initial ar- keeps the /gyu/ (argue, argues, argued).
+    (" ", "guy", "", "G AY"),
     (" ar", "gue", "", "G Y UW"),
     ("", "gues", " ", "G Z"),
     ("", "gued", " ", "G D"),
@@ -363,6 +364,7 @@ _R = [
     ("", "t", "", "T"),
 
     # leftover -ue after a consumed g (to-ngue) is silent at word end.
+    ("", "uy", "", "AY"),     # buy, buyer; guy handled in the g group
     ("g", "ues", " ", "Z"),
     ("g", "ued", " ", "D"),
     ("g", "ue", " ", ""),

@@ -166,6 +166,9 @@ class TestEnglish:
         # word-initial gu+vowel: silent u
         assert lts("guest") == ["G", "EH1", "S", "T"]
         assert lts("guide") == ["G", "AY1", "D"]
+        # uy digraph
+        assert lts("buy") == ["B", "AY1"]
+        assert lts("guys") == ["G", "AY1", "Z"]
         # loan-name finals
         assert lts("rausch")[-1] == "SH"
         assert lts("ricci")[-2:] == ["CH", "IY0"]
