@@ -255,7 +255,10 @@ def _particles(text: str) -> str:
             out[i] = "わ" if c == "は" else "え"
         elif "ぁ" <= prev <= "ゖ":
             nxt = text[i + 1] if i + 1 < n else ""
-            if nxt == "" or _is_word_char(nxt) or not ("ぁ" <= nxt <= "ゖ"):
+            # a following あ is also a boundary (〜はあります/はあなた);
+            # no common word carries an internal はあ
+            if (nxt == "" or _is_word_char(nxt) or nxt == "あ"
+                    or not ("ぁ" <= nxt <= "ゖ")):
                 out[i] = "わ" if c == "は" else "え"
     return "".join(out)
 
@@ -524,7 +527,9 @@ def _kanji_to_kana(text: str) -> str:
         # dictionary readings) but ABOVE per-char fallback.
         nm = _match_date(text, i)
         if nm:
-            out.append(nm[0])
+            # generated kana never carries okurigana, so long-vowelize
+            # unconditionally (何名 なんめい -> なんめー like openjtalk)
+            out.append(_long_vowelize("", nm[0]))
             i = nm[1]
             continue
         matched = False
@@ -539,7 +544,7 @@ def _kanji_to_kana(text: str) -> str:
             continue
         nm = _match_number(text, i)
         if nm:
-            out.append(nm[0])
+            out.append(_long_vowelize("", nm[0]))
             i = nm[1]
             continue
         for j in range(min(n, i + 6), i, -1):

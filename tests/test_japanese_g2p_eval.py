@@ -38,12 +38,13 @@ def test_heldout_accuracy_floor():
     # worst-list pass (same provenance discipline) added foreign-sound
     # katakana digraphs (ファ/ティ/ウィ…), suppletive 来る forms, the
     # raw-kana o-row+う long-vowel rewrite (よう/もう/そう), and the
-    # hiragana-は particle boundary rule — measured 0.9974.  Residual
-    # gap is reading ambiguity that needs real morphology (注ぐ
-    # そそぐ/つぐ).
+    # hiragana-は particle boundary rule — measured 0.9974; then 0.9987
+    # after 行った/浴びる entries, long-vowelized counter kana (何名
+    # なんめー), and the は-before-あ boundary.  The residual 4 edits are
+    # one reading ambiguity that needs real morphology (注ぐ そそぐ/つぐ).
     r = eval_split(load_fixture()["heldout"])
     assert r["sentences"] == 115
-    assert r["phone_accuracy"] >= 0.995, r
+    assert r["phone_accuracy"] >= 0.998, r
 
 
 def test_mechanisms():
@@ -78,6 +79,12 @@ def test_mechanisms():
     assert native_phones("おはよう") == "o h a y o o".split()
     # suppletive 来る forms (きました, not らいました)
     assert native_phones("来ました") == "k i m a sh i t a".split()
+    # irregular 行く geminate forms and counter long vowels
+    assert native_phones("行った") == "i cl t a".split()
+    assert native_phones("浴びて") == "a b i t e".split()
+    assert native_phones("三名") == "s a N m e e".split()
+    # は before あ is a boundary (topic particle)
+    assert native_phones("ものはあります") == "m o n o w a a r i m a s u".split()
     # raw-kana volitional ょう is a long o; ゆう stays literal (same phones)
     assert native_phones("いきましょう") == "i k i m a sh o o".split()
     assert native_phones("ゆうがた") == "y u u g a t a".split()
